@@ -1,0 +1,115 @@
+"""End-to-end extraction plan (SURVEY.md §3.2).
+
+transcripts --(P1-P3 Catalyst)--> resolved turns
+          +--(statement turns)--> fused tokenizer (D1-D11, mapInPandas)
+          |                        -> records -> F1-F8 Catalyst -> transactions
+          +--(HTML turns)-------> D5 pandas UDF -> main spans
+spans = txn spans  U  table_cell spans  U  main spans   (O3)
+span_idx / txn_idx via W1 window over (conv_id, turn_idx)
+
+Scale shape: raw text never crosses an Exchange — the only shuffles are
+over extracted *records* (orders of magnitude smaller than the corpus),
+for the per-turn index windows. Long-document skew is structurally
+bounded because every stage is turn-local (a group is one turn, never a
+whole conversation); residual skew from statement-heavy input splits is
+handled by AQE + the optional salt repartition below.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import spec
+from ..functions.normalize import normalize_records
+from ..operators.html import html_main_spans
+from ..operators.tokenize import RECORDS_DDL, tokenize_records
+from ..sources.transcripts import with_resolved_payload
+
+
+@dataclass
+class ExtractOutputs:
+    turns: DataFrame       # resolved+classified turns
+    records: DataFrame     # structural transaction records
+    spans: DataFrame       # spec.SPANS_DDL
+    transactions: DataFrame  # spec.TRANSACTIONS_DDL
+
+
+def build_records(turns: DataFrame, mode: str = "fused",
+                  salt_partitions: int | None = None) -> DataFrame:
+    """Statement turns -> structural records.
+
+    mode='fused': single mapInPandas pass (default; zero text shuffles).
+    mode='relational': pure-Catalyst composition (operators/relational.py)
+    used to cross-validate operator semantics.
+    """
+    stmt = turns.filter(F.col("kind") != "HTML")
+    if salt_partitions:
+        # Turn-granular salt (SURVEY.md §4.2): statements are independent
+        # per turn, so we may repartition on the full turn key to spread
+        # statement-heavy input splits across the cluster.
+        stmt = stmt.repartition(salt_partitions, "conv_id", "turn_idx")
+    if mode == "fused":
+        return stmt.mapInPandas(tokenize_records, RECORDS_DDL)
+    if mode == "relational":
+        from ..operators.relational import relational_records
+        return relational_records(stmt)
+    raise ValueError(mode)
+
+
+def build_spans(turns: DataFrame, records: DataFrame) -> DataFrame:
+    txn_spans = records.select(
+        "conv_id", "turn_idx", "span_start", "span_end",
+        F.lit(spec.SPAN_KIND_TXN).alias("span_kind"),
+        F.col("span_text").alias("text"))
+    cell_spans = records.select(
+        "conv_id", "turn_idx", F.explode("cells").alias("c")).select(
+        "conv_id", "turn_idx",
+        F.col("c.start").alias("span_start"), F.col("c.end").alias("span_end"),
+        F.lit(spec.SPAN_KIND_CELL).alias("span_kind"),
+        F.col("c.text").alias("text"))
+    main_spans = (
+        turns.filter(F.col("kind") == "HTML")
+        .select("conv_id", "turn_idx",
+                F.explode(html_main_spans(F.col("doc"))).alias("s"))
+        .select("conv_id", "turn_idx",
+                F.col("s.span_start").alias("span_start"),
+                F.col("s.span_end").alias("span_end"),
+                F.lit(spec.SPAN_KIND_MAIN).alias("span_kind"),
+                F.col("s.text").alias("text"))
+    )
+    allspans = txn_spans.unionByName(cell_spans).unionByName(main_spans)
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("span_start")
+    return allspans.select(
+        "conv_id", "turn_idx",
+        (F.row_number().over(w) - 1).cast("int").alias("span_idx"),
+        F.col("span_start").cast("int"), F.col("span_end").cast("int"),
+        "span_kind", "text")
+
+
+def build_transactions(records: DataFrame) -> DataFrame:
+    norm = normalize_records(records)
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("line_start")
+    return norm.select(
+        "conv_id", "turn_idx",
+        (F.row_number().over(w) - 1).cast("int").alias("txn_idx"),
+        "bank", "txn_date", "value_date", "description", "ref",
+        "debit", "credit", "balance",
+        F.col("page").cast("int"), F.col("line_start").cast("int"),
+        F.col("line_end").cast("int"))
+
+
+def extract_all(transcripts: DataFrame, mode: str = "fused",
+                salt_partitions: int | None = None) -> ExtractOutputs:
+    from ..session import ensure_shipped
+    ensure_shipped(transcripts.sparkSession)
+    turns = with_resolved_payload(transcripts)
+    records = build_records(turns, mode=mode, salt_partitions=salt_partitions)
+    return ExtractOutputs(
+        turns=turns,
+        records=records,
+        spans=build_spans(turns, records),
+        transactions=build_transactions(records),
+    )

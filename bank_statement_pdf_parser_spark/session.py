@@ -1,0 +1,69 @@
+"""SparkSession factory with the engine's scale-oriented defaults,
+plus the `--py-files` packaging seam (BASELINE.json north_rule: the job
+ships as `spark-submit --py-files engine.zip`; `ensure_shipped` is the
+programmatic equivalent so executor Python workers can always import
+this package, whatever session created them)."""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_SHIPPED: set[int] = set()
+
+
+def package_zip(dest_dir: str | None = None) -> str:
+    """Zip this package for --py-files / addPyFile distribution."""
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    dest_dir = dest_dir or tempfile.mkdtemp(prefix="bspp_pyfiles_")
+    zpath = os.path.join(dest_dir, "bank_statement_pdf_parser_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for f in sorted(pkg_dir.rglob("*.py")):
+            z.write(f, arcname=str(
+                pathlib.Path(pkg_dir.name) / f.relative_to(pkg_dir)))
+    return zpath
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Idempotently distribute this package to executor Python workers."""
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    sc.addPyFile(package_zip())
+    _SHIPPED.add(id(sc))
+
+
+def get_spark(app: str = "bank-statement-extract", master: str | None = None,
+              shuffle_partitions: int | None = None, **extra) -> SparkSession:
+    master = master or os.environ.get("SPARK_MASTER", "local[*]")
+    cores = os.environ.get("SPARK_GRAFT_CPUS")
+    if master == "local[*]" and cores:
+        master = f"local[{cores}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+    b = (
+        SparkSession.builder.appName(app).master(master)
+        # Arrow everywhere: the tokenizer/HTML UDFs are Arrow-batched.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Long documents: bound Arrow batch row-count so a batch of
+        # multi-page statements stays well inside executor memory.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime coalescing + skew-join splitting for the record-level
+        # shuffles that remain after the zero-shuffle extraction stage.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in extra.items():
+        b = b.config(k, v)
+    s = b.getOrCreate()
+    ensure_shipped(s)
+    return s

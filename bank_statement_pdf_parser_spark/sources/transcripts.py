@@ -1,0 +1,70 @@
+"""Transcript sources + payload resolution (SURVEY.md S1/S2, P1-P3).
+
+Everything here is pure Catalyst: JSON envelope probing, base64 decode,
+bank/HTML classification and the OCBC period header extraction are all
+built-in expressions, so they stay inside WholeStageCodegen and never
+cross into Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import spec
+
+
+def load_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    """S1: Parquet directory/file or Iceberg table name.
+
+    At design scale this is `spark.read.table(<iceberg>)` so hidden
+    partition pruning on bucket(conv_id)/days(ts) applies; the sandbox
+    fallback is plain Parquet (same columns, same code thereafter).
+    """
+    if path.endswith(".parquet") or "/" in path:
+        return spark.read.parquet(path)
+    return spark.read.table(path)
+
+
+def resolved_doc_col(text: Column, tool: Column) -> Column:
+    """S2: tool JSON envelope {"encoding","payload"} wins over text."""
+    payload = F.get_json_object(tool, spec.TOOL_PAYLOAD_JSONPATH)
+    encoding = F.get_json_object(tool, spec.TOOL_ENCODING_JSONPATH)
+    return (
+        F.when(payload.isNotNull() & (encoding == F.lit("base64")),
+               F.decode(F.unbase64(payload), "UTF-8"))
+        .when(payload.isNotNull(), payload)
+        .otherwise(text)
+    )
+
+
+def kind_col(doc: Column) -> Column:
+    """P3: 'HTML' | bank code | NULL (noise). First signature wins."""
+    c = F.when(doc.rlike(spec.HTML_PREFIX_RX), F.lit("HTML"))
+    for bank, sig in spec.BANK_SIGNATURES:
+        c = c.when(doc.contains(F.lit(sig)), F.lit(bank))
+    return c.otherwise(F.lit(None))
+
+
+def with_resolved_payload(df: DataFrame) -> DataFrame:
+    """P1/P2/P3 + OCBC period metadata, all turn-level and shuffle-free."""
+    doc = resolved_doc_col(F.col("text"), F.col("tool"))
+    out = (
+        df.filter(F.col("role").isin("user", "assistant", "tool"))
+        .select("conv_id", "turn_idx", doc.alias("doc"))
+        .filter(F.col("doc").isNotNull() & (F.length("doc") > 0))
+        .withColumn("kind", kind_col(F.col("doc")))
+        .filter(F.col("kind").isNotNull())
+    )
+    months = F.array(*[F.lit(m) for m in spec.MONTHS])
+    p = lambda g: F.regexp_extract(F.col("doc"), spec.OCBC_PERIOD_RX, g)  # noqa: E731
+    return (
+        out.withColumn(
+            "p_start_mon",
+            F.when(F.col("kind") == "OCBC",
+                   F.array_position(months, p(2)).cast("int")))
+        .withColumn("p_start_year",
+                    F.when(F.col("kind") == "OCBC", p(3).cast("int")))
+        .withColumn("p_end_year",
+                    F.when(F.col("kind") == "OCBC", p(6).cast("int")))
+    )
