@@ -1,38 +1,568 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship extraction: TPC-H-ish orders/lineitems
+are rendered (distributed, Catalyst-only) into spec-exact UOB statement
+turns, pushed through the full extraction pipeline, and returned as the
+normalized `transactions` frame. Because the rendering derives every
+cell from integer arithmetic, the DuckDB oracles below predict the
+extraction output — decimals, dates, span offsets, raw span text —
+exactly (see sources/tpch_bridge.py).
+
+`queries()` covers SURVEY.md §2 operator rows plus the training-data
+ops (dedup/token-stats/lang-id/quality/ANN); `oracle_sql()` carries the
+matching ANSI SQL for the driver's DuckDB cross-check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _prep(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from bank_statement_pdf_parser_spark.session import ensure_shipped
+    ensure_shipped(spark)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship: full extraction pipeline over TPC-H-rendered statements
+# ---------------------------------------------------------------------------
+
+def _flagship_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.plans.extract import extract_all
+    from bank_statement_pdf_parser_spark.sources.tpch_bridge import (
+        transcripts_from_tpch)
+    return extract_all(transcripts_from_tpch(spark, sf_dir)).transactions
+
+
+def _flagship_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.plans.extract import extract_all
+    from bank_statement_pdf_parser_spark.sources.tpch_bridge import (
+        transcripts_from_tpch)
+    return extract_all(transcripts_from_tpch(spark, sf_dir)).spans
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _flagship_transactions(spark, "/root/testdata/sf0.001")
+
+
+_FLAGSHIP_BASE_SQL = """
+WITH li AS (
+  SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_returnflag,
+         l.l_shipdate,
+         l.l_partkey, l.l_suppkey,
+         row_number() OVER (PARTITION BY l.l_orderkey
+                            ORDER BY l.l_linenumber, l.l_partkey,
+                                     l.l_suppkey, l.l_quantity,
+                                     l.l_shipdate) AS rn
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+"""
+
+_FLAGSHIP_TXNS_SQL = _FLAGSHIP_BASE_SQL + """
+SELECT 'conv-' || CAST(l_orderkey AS VARCHAR) AS conv_id,
+       CAST(0 AS INTEGER) AS turn_idx,
+       CAST(rn - 1 AS INTEGER) AS txn_idx,
+       'UOB' AS bank,
+       CAST(l_shipdate AS DATE) AS txn_date,
+       CAST(NULL AS DATE) AS value_date,
+       substr('O' || CAST(l_orderkey AS VARCHAR) || ' L'
+              || CAST(l_linenumber AS VARCHAR) || ' P'
+              || CAST(l_partkey AS VARCHAR) || ' S'
+              || CAST(l_suppkey AS VARCHAR), 1, 38) AS description,
+       CAST(NULL AS VARCHAR) AS ref,
+       CASE WHEN l_returnflag = 'R' THEN CAST(
+          (CAST(l_quantity AS BIGINT)*100 + l_linenumber)/100.0
+          AS DECIMAL(18,2)) END AS debit,
+       CASE WHEN l_returnflag <> 'R' THEN CAST(
+          (CAST(l_quantity AS BIGINT)*100 + l_linenumber)/100.0
+          AS DECIMAL(18,2)) END AS credit,
+       CAST(((l_orderkey % 1000000) + 1)/100.0 AS DECIMAL(18,2)) AS balance,
+       CAST(1 AS INTEGER) AS page,
+       CAST(3 + rn AS INTEGER) AS line_start,
+       CAST(3 + rn AS INTEGER) AS line_end
+FROM li
+"""
+
+_FLAGSHIP_SPANS_SQL = _FLAGSHIP_BASE_SQL + """
+SELECT 'conv-' || CAST(l_orderkey AS VARCHAR) AS conv_id,
+       CAST(0 AS INTEGER) AS turn_idx,
+       CAST(rn - 1 AS INTEGER) AS span_idx,
+       CAST(95 + (rn-1)*101 AS INTEGER) AS span_start,
+       CAST(95 + (rn-1)*101 + 100 AS INTEGER) AS span_end,
+       'txn' AS span_kind,
+       rpad(strftime(l_shipdate, '%d %b %Y'), 12, ' ')
+       || rpad('O' || CAST(l_orderkey AS VARCHAR) || ' L'
+               || CAST(l_linenumber AS VARCHAR) || ' P'
+               || CAST(l_partkey AS VARCHAR) || ' S'
+               || CAST(l_suppkey AS VARCHAR), 40, ' ')
+       || CASE WHEN l_returnflag = 'R'
+               THEN lpad(format('{:,}', CAST(l_quantity AS BIGINT)) || '.'
+                         || lpad(CAST(l_linenumber AS VARCHAR), 2, '0'),
+                         16, ' ')
+               ELSE repeat(' ', 16) END
+       || CASE WHEN l_returnflag <> 'R'
+               THEN lpad(format('{:,}', CAST(l_quantity AS BIGINT)) || '.'
+                         || lpad(CAST(l_linenumber AS VARCHAR), 2, '0'),
+                         16, ' ')
+               ELSE repeat(' ', 16) END
+       || lpad(format('{:,}', ((l_orderkey % 1000000) + 1) // 100) || '.'
+               || lpad(CAST(((l_orderkey % 1000000) + 1) % 100 AS VARCHAR),
+                       2, '0'), 16, ' ') AS text
+FROM li
+"""
+
+
+# ---------------------------------------------------------------------------
+# operator battery (SURVEY.md §2) + training-data ops
+# ---------------------------------------------------------------------------
+
+def _q_p2_filter_project(spark, sf_dir):
+    _prep(spark)
+    return (_t(spark, sf_dir, "events")
+            .filter((F.col("event_type") == "purchase") & (F.col("value") > 50.0))
+            .select("event_id", "user_id", "value"))
+
+
+def _q_p3_classify(spark, sf_dir):
+    _prep(spark)
+    cls = (F.when(F.col("text").contains("spark"), "spark")
+           .when(F.col("text").contains("window"), "window")
+           .otherwise("other"))
+    return (_t(spark, sf_dir, "documents").select(cls.alias("cls"))
+            .groupBy("cls").agg(F.count("*").alias("n")))
+
+
+def _q_d1_token_count(spark, sf_dir):
+    _prep(spark)
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", F.size(F.split("text", " ")).alias("n_tokens")))
+
+
+def _q_d3_regex_filter(spark, sf_dir):
+    _prep(spark)
+    return (_t(spark, sf_dir, "documents")
+            .filter(~F.col("text").rlike("^(the|a) "))
+            .select("doc_id", "lang"))
+
+
+def _q_d4_token_freq(spark, sf_dir):
+    _prep(spark)
+    return (_t(spark, sf_dir, "documents")
+            .select(F.explode(F.split("text", " ")).alias("tok"))
+            .groupBy("tok").agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 200))
+
+
+def _q_d8_sessionize(spark, sf_dir):
+    _prep(spark)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    anchor = F.when(F.col("event_type") == "signup", 1).otherwise(0)
+    return (_t(spark, sf_dir, "events")
+            .select("event_id", "user_id",
+                    F.sum(anchor).over(w).cast("long").alias("sess")))
+
+
+def _q_d11_dedup(spark, sf_dir):
+    _prep(spark)
+    return (_t(spark, sf_dir, "documents").select("text").distinct()
+            .agg(F.count("*").cast("long").alias("n_unique")))
+
+
+def _q_f1_date_bins(spark, sf_dir):
+    _prep(spark)
+    return (_t(spark, sf_dir, "orders")
+            .groupBy(F.year("o_orderdate").cast("long").alias("y"),
+                     F.month("o_orderdate").cast("long").alias("m"))
+            .agg(F.count("*").alias("n")))
+
+
+def _q_f2_amount_parse(spark, sf_dir):
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.functions.normalize import amount_struct
+    s = F.concat(
+        F.when(F.col("l_returnflag") == "R",
+               F.concat(F.lit("("), F.col("l_quantity").cast("long").cast("string"),
+                        F.lit(".25)")))
+        .otherwise(F.concat(F.col("l_quantity").cast("long").cast("string"),
+                            F.lit(".25"))),
+        F.when(F.col("l_linestatus") == "O", F.lit(" CR")).otherwise(F.lit("")))
+    amt = amount_struct(s)["val"]
+    return (_t(spark, sf_dir, "lineitem")
+            .select("l_returnflag", amt.alias("amt"))
+            .groupBy("l_returnflag")
+            .agg(F.sum("amt").cast("decimal(18,2)").alias("amt_sum")))
+
+
+def _q_f8_json(spark, sf_dir):
+    _prep(spark)
+    return (_t(spark, sf_dir, "events")
+            .select("event_id",
+                    F.get_json_object("props", "$.k").cast("int").alias("k"))
+            .filter(F.col("k") > 50))
+
+
+def _q_j1_broadcast_join(spark, sf_dir):
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                 .cast("decimal(18,2)").alias("revenue"),
+                 F.count("*").alias("n")))
+
+
+def _q_j3_anti_join(spark, sf_dir):
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+            .groupBy("c_mktsegment").agg(F.count("*").alias("n")))
+
+
+def _q_j4_semi_join(spark, sf_dir):
+    _prep(spark)
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+            .groupBy("p_brand").agg(F.count("*").alias("n")))
+
+
+def _q_a1_agg_metrics(spark, sf_dir):
+    _prep(spark)
+    return (_t(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .cast("decimal(18,2)").alias("sum_qty"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                 .cast("decimal(18,2)").alias("sum_base_price"),
+                 F.count("*").alias("count_order")))
+
+
+def _q_a2_ordered_collect(spark, sf_dir):
+    _prep(spark)
+    return (_t(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("ts", "event_id", "event_type"))),
+                    lambda x: x["event_type"]), ",").alias("seq")))
+
+
+def _q_a3_minmax(spark, sf_dir):
+    _prep(spark)
+    return (_t(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.min("value").alias("min_value"),
+                 F.max("value").alias("max_value"),
+                 F.min(F.col("ts").cast("date")).alias("first_day"),
+                 F.max(F.col("ts").cast("date")).alias("last_day")))
+
+
+def _q_a4_distinct(spark, sf_dir):
+    _prep(spark)
+    return (_t(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").cast("long").alias("n_users")))
+
+
+def _q_a5_rollup(spark, sf_dir):
+    _prep(spark)
+    return (_t(spark, sf_dir, "lineitem")
+            .rollup("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n")))
+
+
+def _q_w3_lag_delta(spark, sf_dir):
+    _prep(spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = F.col("value") - F.lag("value").over(w)
+    return (_t(spark, sf_dir, "events")
+            .select("user_id", d.alias("d"))
+            .filter(F.col("d").isNotNull() & (F.col("d") > 50.0))
+            .groupBy("user_id").agg(F.count("*").alias("n_jumps")))
+
+
+def _q_w4_rank_topk(spark, sf_dir):
+    _prep(spark)
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return (_t(spark, sf_dir, "events")
+            .filter(F.col("event_type") == "purchase")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "value"))
+
+
+def _q_o1_topk_orders(spark, sf_dir):
+    _prep(spark)
+    return (_t(spark, sf_dir, "orders")
+            .select("o_orderkey",
+                    F.col("o_totalprice").cast("decimal(18,2)").alias("total"))
+            .orderBy(F.col("total").desc(), "o_orderkey").limit(20))
+
+
+def _q_o3_union(spark, sf_dir):
+    _prep(spark)
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+def _q_o4_except(spark, sf_dir):
+    _prep(spark)
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # EXCEPT DISTINCT semantics
+
+
+def _q_s6_partition_metrics(spark, sf_dir):
+    _prep(spark)
+    return (_t(spark, sf_dir, "documents")
+            .groupBy("lang")
+            .agg(F.count("*").alias("rows"),
+                 F.sum("n_chars").cast("long").alias("bytes_in")))
+
+
+# --- training-data pipeline ops -------------------------------------------
+
+def _q_x_dedup_md5(spark, sf_dir):
+    _prep(spark)
+    return (_t(spark, sf_dir, "documents")
+            .select(F.md5(F.col("text").cast("binary")).alias("h"))
+            .agg(F.countDistinct("h").cast("long").alias("n_unique")))
+
+
+def _q_x_token_stats(spark, sf_dir):
+    _prep(spark)
+    return (_t(spark, sf_dir, "documents")
+            .select("lang", F.size(F.split("text", " ")).alias("nt"),
+                    "n_chars")
+            .groupBy("lang")
+            .agg(F.sum(F.col("nt").cast("long")).alias("total_tokens"),
+                 F.sum("n_chars").cast("long").alias("total_chars")))
+
+
+def _q_x_quality(spark, sf_dir):
+    _prep(spark)
+    stripped = F.regexp_replace(F.col("text"), "[a-z ]", "")
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.length("text").cast("long").alias("n_chars_total"),
+                    F.length(stripped).cast("long").alias("n_nonalpha")))
+
+
+def _q_x_langid(spark, sf_dir):
+    _prep(spark)
+    n_the = ((F.length("text")
+              - F.length(F.replace(F.col("text"), F.lit(" the "), F.lit(""))))
+             / 5).cast("long")
+    pred = F.when(n_the >= 1, "en").otherwise("other")
+    return (_t(spark, sf_dir, "documents")
+            .select("lang", pred.alias("pred"))
+            .groupBy("lang", "pred").agg(F.count("*").alias("n")))
+
+
+def _q_x_ann_cosine(spark, sf_dir):
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    e = emb.crossJoin(F.broadcast(q))
+    cos = dot(F.col("embedding"), F.col("q_emb")) / (
+        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot(F.col("q_emb"), F.col("q_emb"))))
+    return (e.select("vec_id", "label", F.round(cos, 6).alias("cos_r"))
+            .filter(F.col("cos_r") >= 0.25))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "flagship_extract_transactions": _flagship_transactions,
+        "flagship_extract_spans": _flagship_spans,
+        "p2_filter_project": _q_p2_filter_project,
+        "p3_classify": _q_p3_classify,
+        "d1_token_count": _q_d1_token_count,
+        "d3_regex_filter": _q_d3_regex_filter,
+        "d4_token_freq": _q_d4_token_freq,
+        "d8_sessionize": _q_d8_sessionize,
+        "d11_dedup": _q_d11_dedup,
+        "f1_date_bins": _q_f1_date_bins,
+        "f2_amount_parse": _q_f2_amount_parse,
+        "f8_json": _q_f8_json,
+        "j1_broadcast_join": _q_j1_broadcast_join,
+        "j3_anti_join": _q_j3_anti_join,
+        "j4_semi_join": _q_j4_semi_join,
+        "a1_agg_metrics": _q_a1_agg_metrics,
+        "a2_ordered_collect": _q_a2_ordered_collect,
+        "a3_minmax": _q_a3_minmax,
+        "a4_distinct": _q_a4_distinct,
+        "a5_rollup": _q_a5_rollup,
+        "w3_lag_delta": _q_w3_lag_delta,
+        "w4_rank_topk": _q_w4_rank_topk,
+        "o1_topk_orders": _q_o1_topk_orders,
+        "o3_union": _q_o3_union,
+        "o4_except": _q_o4_except,
+        "s6_partition_metrics": _q_s6_partition_metrics,
+        "x_dedup_md5": _q_x_dedup_md5,
+        "x_token_stats": _q_x_token_stats,
+        "x_quality": _q_x_quality,
+        "x_langid": _q_x_langid,
+        "x_ann_cosine": _q_x_ann_cosine,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "flagship_extract_transactions": _FLAGSHIP_TXNS_SQL,
+        "flagship_extract_spans": _FLAGSHIP_SPANS_SQL,
+        "p2_filter_project": (
+            "SELECT event_id, user_id, value FROM events "
+            "WHERE event_type = 'purchase' AND value > 50.0"),
+        "p3_classify": (
+            "SELECT CASE WHEN text LIKE '%spark%' THEN 'spark' "
+            "WHEN text LIKE '%window%' THEN 'window' ELSE 'other' END AS cls, "
+            "count(*) AS n FROM documents GROUP BY 1"),
+        "d1_token_count": (
+            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) "
+            "AS n_tokens FROM documents"),
+        "d3_regex_filter": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE NOT regexp_matches(text, '^(the|a) ')"),
+        "d4_token_freq": (
+            "SELECT tok, count(*) AS n FROM (SELECT unnest(string_split(text, ' ')) "
+            "AS tok FROM documents) GROUP BY tok HAVING count(*) > 200"),
+        "d8_sessionize": (
+            "SELECT event_id, user_id, CAST(SUM(CASE WHEN event_type='signup' "
+            "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess FROM events"),
+        "d11_dedup": (
+            "SELECT count(*) AS n_unique FROM (SELECT DISTINCT text FROM documents)"),
+        "f1_date_bins": (
+            "SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y, "
+            "CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m, "
+            "count(*) AS n FROM orders GROUP BY 1, 2"),
+        "f2_amount_parse": (
+            "WITH s AS (SELECT l_returnflag, "
+            "CASE WHEN l_returnflag = 'R' THEN '(' || "
+            "CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || '.25)' "
+            "ELSE CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || '.25' END || "
+            "CASE WHEN l_linestatus = 'O' THEN ' CR' ELSE '' END AS cell "
+            "FROM lineitem) "
+            "SELECT l_returnflag, CAST(SUM("
+            "CAST(regexp_replace(regexp_replace(cell, ' (CR|DR)$', ''), "
+            "'[(),]', '', 'g') AS DECIMAL(18,2)) * "
+            "CASE WHEN cell LIKE '(%' THEN -1 ELSE 1 END) AS DECIMAL(18,2)) "
+            "AS amt_sum FROM s GROUP BY l_returnflag"),
+        "f8_json": (
+            "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) "
+            "AS k FROM events WHERE CAST(json_extract_string(props, '$.k') "
+            "AS INTEGER) > 50"),
+        "j1_broadcast_join": (
+            "SELECT p_brand, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) "
+            "AS DECIMAL(18,2)) AS revenue, count(*) AS n FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey GROUP BY p_brand"),
+        "j3_anti_join": (
+            "SELECT c_mktsegment, count(*) AS n FROM customer "
+            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) "
+            "GROUP BY c_mktsegment"),
+        "j4_semi_join": (
+            "SELECT p_brand, count(*) AS n FROM part "
+            "WHERE p_partkey IN (SELECT l_partkey FROM lineitem) "
+            "GROUP BY p_brand"),
+        "a1_agg_metrics": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
+            "AS sum_qty, "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
+            "AS sum_base_price, count(*) AS count_order "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+        "a2_ordered_collect": (
+            "SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) "
+            "AS seq FROM events GROUP BY user_id"),
+        "a3_minmax": (
+            "SELECT user_id, min(value) AS min_value, max(value) AS max_value, "
+            "CAST(min(ts) AS DATE) AS first_day, CAST(max(ts) AS DATE) "
+            "AS last_day FROM events GROUP BY user_id"),
+        "a4_distinct": (
+            "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
+            "AS n_users FROM events GROUP BY event_type"),
+        "a5_rollup": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem "
+            "GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+        "w3_lag_delta": (
+            "SELECT user_id, count(*) AS n_jumps FROM ("
+            "SELECT user_id, value - LAG(value) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS d FROM events) "
+            "WHERE d IS NOT NULL AND d > 50.0 GROUP BY user_id"),
+        "w4_rank_topk": (
+            "SELECT user_id, event_id, value FROM ("
+            "SELECT user_id, event_id, value, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY value DESC, event_id) AS rn "
+            "FROM events WHERE event_type = 'purchase') WHERE rn = 1"),
+        "o1_topk_orders": (
+            "SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total "
+            "FROM orders ORDER BY total DESC, o_orderkey LIMIT 20"),
+        "o3_union": (
+            "SELECT DISTINCT nationkey FROM ("
+            "SELECT c_nationkey AS nationkey FROM customer "
+            "UNION ALL SELECT s_nationkey FROM supplier)"),
+        "o4_except": (
+            "SELECT DISTINCT c_nationkey AS nationkey FROM customer "
+            "WHERE c_nationkey NOT IN (SELECT s_nationkey FROM supplier)"),
+        "s6_partition_metrics": (
+            "SELECT lang, count(*) AS rows, CAST(SUM(n_chars) AS BIGINT) "
+            "AS bytes_in FROM documents GROUP BY lang"),
+        "x_dedup_md5": (
+            "SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique "
+            "FROM documents"),
+        "x_token_stats": (
+            "SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) "
+            "AS total_tokens, CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+            "FROM documents GROUP BY lang"),
+        "x_quality": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_total, "
+            "CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS BIGINT) "
+            "AS n_nonalpha FROM documents"),
+        "x_langid": (
+            "SELECT lang, CASE WHEN (length(text) - length(replace(text, "
+            "' the ', ''))) / 5 >= 1 THEN 'en' ELSE 'other' END AS pred, "
+            "count(*) AS n FROM documents GROUP BY 1, 2"),
+        "x_ann_cosine": (
+            "WITH q AS (SELECT embedding AS q_emb FROM embeddings "
+            "WHERE vec_id = 0), "
+            "z AS (SELECT e.vec_id, e.label, "
+            "unnest(e.embedding)::DOUBLE AS a, unnest(q.q_emb)::DOUBLE AS b "
+            "FROM embeddings e CROSS JOIN q), "
+            "d AS (SELECT vec_id, label, SUM(a*b) AS dot, "
+            "sqrt(SUM(a*a)) * sqrt(SUM(b*b)) AS nrm FROM z "
+            "GROUP BY vec_id, label) "
+            "SELECT vec_id, label, round(dot/nrm, 6) AS cos_r FROM d "
+            "WHERE round(dot/nrm, 6) >= 0.25"),
+    }
