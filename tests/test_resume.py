@@ -1,0 +1,52 @@
+"""SURVEY.md §5.2.5: kill after k bucket-groups, restart, assert output
+identical to an uninterrupted run and free of duplicates."""
+
+from __future__ import annotations
+
+import pytest
+
+from bank_statement_pdf_parser_spark.sources.checkpoint import (
+    CheckpointedExtract)
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.drop("bucket").collect())
+
+
+def test_resume_idempotent(spark, transcripts_path, tmp_path):
+    df = spark.read.parquet(transcripts_path)
+
+    full = CheckpointedExtract(str(tmp_path / "full"), "full", n_buckets=8,
+                               buckets_per_job=4)
+    full.run(df)
+
+    ck = CheckpointedExtract(str(tmp_path / "ck"), "r1", n_buckets=8,
+                             buckets_per_job=4)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ck.run(df, fail_after_groups=1)
+    done_after_crash = ck.committed_buckets()
+    assert 0 < len(done_after_crash) < 8
+
+    res = ck.run(df)  # resume
+    assert sorted(res.buckets_skipped) == sorted(done_after_crash)
+    assert ck.committed_buckets() == set(range(8))
+
+    assert _canon(ck.spans(spark)) == _canon(full.spans(spark))
+    assert _canon(ck.transactions(spark)) == _canon(full.transactions(spark))
+
+    lineage = ck.lineage(spark).collect()
+    assert len(lineage) == 8
+    assert sum(m["rows_in"] for m in lineage) == df.count()
+    assert all(m["status"] == "committed" for m in lineage)
+
+
+def test_second_run_is_noop(spark, transcripts_path, tmp_path):
+    df = spark.read.parquet(transcripts_path)
+    ck = CheckpointedExtract(str(tmp_path / "o"), "r1", n_buckets=4,
+                             buckets_per_job=4)
+    r1 = ck.run(df)
+    n1 = ck.spans(spark).count()
+    r2 = ck.run(df)
+    assert r2.buckets_done == []
+    assert sorted(r2.buckets_skipped) == [0, 1, 2, 3]
+    assert ck.spans(spark).count() == n1
