@@ -402,6 +402,65 @@ def _q_x_ann_cosine(spark, sf_dir):
             .filter(F.col("cos_r") >= 0.25))
 
 
+def _q_x_neardup_pipeline(spark, sf_dir):
+    """MinHash -> LSH banding -> exact-Jaccard verify, end-to-end.
+
+    The corpus is documents UNION an exact copy shifted by +100000, so
+    the verified >=0.99 pairs are exactly {(i, i+100000)} — an ANSI-SQL
+    oracle can predict the full pipeline output."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.neardup import (
+        lsh_candidates, minhash_signatures, ngram_jaccard_pairs, shingles)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    sig = minhash_signatures(shingles(corpus), n_hashes=32)
+    cand = lsh_candidates(sig, n_bands=8)
+    pairs = ngram_jaccard_pairs(corpus, cand)
+    return (pairs.filter(F.col("jaccard") >= 0.99)
+            .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def _q_x_simhash(spark, sf_dir):
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.neardup import simhash64
+    return simhash64(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100))
+
+
+def _q_x_exact_dedup_groups(spark, sf_dir):
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.neardup import exact_dedup
+    g = exact_dedup(_t(spark, sf_dir, "documents"))
+    return g.agg(F.count("*").alias("n_groups"),
+                 F.max("n_copies").alias("max_copies"),
+                 F.sum("keep_id").cast("long").alias("sum_keep"))
+
+
+def _q_x_binary_checksum(spark, sf_dir):
+    """Binary-column plumbing: text -> binary payload -> Arrow-batched
+    pandas kernel computing byte length + checksum (multimodal seam)."""
+    _prep(spark)
+    import pandas as pd
+
+    def kernel(batches):
+        import numpy as np
+        for pdf in batches:
+            ids, nb, ck = [], [], []
+            for i, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                ids.append(int(i))
+                nb.append(int(b.size))
+                ck.append(int(b.sum()))
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": ids, "n_bytes": nb, "checksum": ck})
+
+    df = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+          .select("doc_id", F.encode("text", "UTF-8").alias("payload")))
+    return df.mapInPandas(kernel, "doc_id long, n_bytes long, checksum long")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_extract_transactions": _flagship_transactions,
@@ -435,6 +494,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_quality": _q_x_quality,
         "x_langid": _q_x_langid,
         "x_ann_cosine": _q_x_ann_cosine,
+        "x_neardup_pipeline": _q_x_neardup_pipeline,
+        "x_simhash": _q_x_simhash,
+        "x_exact_dedup_groups": _q_x_exact_dedup_groups,
+        "x_binary_checksum": _q_x_binary_checksum,
     }
 
 
@@ -565,4 +628,18 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY vec_id, label) "
             "SELECT vec_id, label, round(dot/nrm, 6) AS cos_r FROM d "
             "WHERE round(dot/nrm, 6) >= 0.25"),
+        # x_simhash: rows-only (engine hash functions differ by design)
+        "x_neardup_pipeline": (
+            "SELECT doc_id AS a, doc_id + 100000 AS b, "
+            "CAST(1.0 AS DOUBLE) AS jaccard FROM documents"),
+        "x_exact_dedup_groups": (
+            "SELECT count(*) AS n_groups, max(cnt) AS max_copies, "
+            "CAST(SUM(keep_id) AS BIGINT) AS sum_keep FROM ("
+            "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS cnt "
+            "FROM documents GROUP BY md5(text))"),
+        "x_binary_checksum": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, "
+            "CAST(SUM(ascii(substring(text, i, 1))) AS BIGINT) AS checksum "
+            "FROM documents, generate_series(1, length(text)) AS g(i) "
+            "WHERE doc_id < 200 GROUP BY doc_id, length(text)"),
     }

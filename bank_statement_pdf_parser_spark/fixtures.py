@@ -307,21 +307,41 @@ def gen_transcripts(n_convs: int = 30, seed: int = 42,
 
 
 def write_transcripts_parquet(rows: list[dict], path: str,
-                              shuffle_seed: int | None = 7) -> None:
+                              shuffle_seed: int | None = 7,
+                              row_group_size: int = 1024,
+                              n_files: int = 1) -> None:
     """Write rows via pyarrow; physical order shuffled so nothing may rely
-    on it (FIXTURES.md §1)."""
+    on it (FIXTURES.md §1). Small row groups + optional multi-file layout
+    keep the corpus splittable: Spark's scan parallelism is bounded by
+    files x maxPartitionBytes, so a single-file corpus serializes the
+    whole read side (a real table is always many files)."""
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     rows = list(rows)
     if shuffle_seed is not None:
         random.Random(shuffle_seed).shuffle(rows)
-    table = pa.table({
-        "conv_id": pa.array([r["conv_id"] for r in rows], pa.string()),
-        "turn_idx": pa.array([r["turn_idx"] for r in rows], pa.int32()),
-        "role": pa.array([r["role"] for r in rows], pa.string()),
-        "text": pa.array([r["text"] for r in rows], pa.string()),
-        "tool": pa.array([r["tool"] for r in rows], pa.string()),
-        "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
-    })
-    pq.write_table(table, path)
+
+    def to_table(chunk):
+        return pa.table({
+            "conv_id": pa.array([r["conv_id"] for r in chunk], pa.string()),
+            "turn_idx": pa.array([r["turn_idx"] for r in chunk], pa.int32()),
+            "role": pa.array([r["role"] for r in chunk], pa.string()),
+            "text": pa.array([r["text"] for r in chunk], pa.string()),
+            "tool": pa.array([r["tool"] for r in chunk], pa.string()),
+            "ts": pa.array([r["ts"] for r in chunk], pa.timestamp("us")),
+        })
+
+    if n_files <= 1:
+        pq.write_table(to_table(rows), path, row_group_size=row_group_size)
+        return
+    os.makedirs(path, exist_ok=True)
+    per = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = rows[i * per:(i + 1) * per]
+        if chunk:
+            pq.write_table(to_table(chunk),
+                           os.path.join(path, f"part-{i:05d}.parquet"),
+                           row_group_size=row_group_size)

@@ -1,0 +1,125 @@
+"""Near-duplicate detection operators for training-data pipelines:
+exact hash dedup, MinHash+LSH banding, SimHash, n-gram Jaccard.
+
+All are pure DataFrame compositions (explode/groupBy/join) over
+Catalyst hash built-ins — no UDFs — so they scale like any shuffle
+workload: candidate generation is band-bucket equi-join (AQE skew
+handling applies), never an O(n^2) cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# deterministic affine permutation constants (public textbook scheme:
+# h_i(x) = (a_i * x + b_i) mod p, p Mersenne prime 2^61-1)
+P = (1 << 61) - 1
+
+
+def _perm_consts(n: int, seed: int = 7):
+    import random
+    rng = random.Random(seed)
+    return [(rng.randrange(1, P), rng.randrange(0, P)) for _ in range(n)]
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             k: int = 5) -> DataFrame:
+    """Distinct k-token shingles per doc (token = whitespace split)."""
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    sh = F.array_distinct(F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")))
+    return df.select(F.col(id_col).alias("doc_id"),
+                     F.explode(sh).alias("shingle"))
+
+
+def minhash_signatures(sh: DataFrame, n_hashes: int = 32,
+                       seed: int = 7) -> DataFrame:
+    """doc_id -> array<long> of n_hashes min-hashes, via one groupBy."""
+    h = F.pmod(F.xxhash64("shingle"), F.lit(P))
+    consts = _perm_consts(n_hashes, seed)
+    mins = [F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(P)))
+            .alias(f"h{i}") for i, (a, b) in enumerate(consts)]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select("doc_id", F.array(
+        *[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"))
+
+
+def lsh_candidates(sig: DataFrame, n_bands: int = 8) -> DataFrame:
+    """Band the signature, bucket-join within bands -> candidate pairs
+    (a < b). Shuffle cost = O(docs * bands), not O(docs^2)."""
+    n_hashes = None  # derived from array at runtime via slice exprs
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.xxhash64(F.concat_ws(
+                ",", F.transform(
+                    F.slice(F.col("sig"),
+                            b * (F.size("sig") / n_bands).cast("int") + 1,
+                            (F.size("sig") / n_bands).cast("int")),
+                    lambda x: x.cast("string"))),
+                b))).alias("band", "bucket"))
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (left.join(right,
+                      (F.col("l.band") == F.col("r.band"))
+                      & (F.col("l.bucket") == F.col("r.bucket"))
+                      & (F.col("l.doc_id") < F.col("r.doc_id")))
+            .select(F.col("l.doc_id").alias("a"),
+                    F.col("r.doc_id").alias("b")).distinct())
+
+
+def ngram_jaccard_pairs(df: DataFrame, candidates: DataFrame,
+                        k: int = 5) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs (verification stage)."""
+    sh = shingles(df, k=k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (sh.alias("x")
+             .join(candidates, F.col("x.doc_id") == F.col("a"))
+             .join(sh.alias("y"),
+                   (F.col("y.doc_id") == F.col("b"))
+                   & (F.col("x.shingle") == F.col("y.shingle")))
+             .groupBy("a", "b").agg(F.count("*").alias("n_inter")))
+    return (inter
+            .join(sizes.withColumnRenamed("doc_id", "a")
+                  .withColumnRenamed("n", "na"), "a")
+            .join(sizes.withColumnRenamed("doc_id", "b")
+                  .withColumnRenamed("n", "nb"), "b")
+            .select("a", "b",
+                    (F.col("n_inter")
+                     / (F.col("na") + F.col("nb") - F.col("n_inter")))
+                    .alias("jaccard")))
+
+
+def simhash64(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash: per-token hash bits majority-voted, bit-parallel
+    via explode + sum of bit indicators."""
+    toks = (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(F.split(text_col, " ")).alias("tok"))
+            .withColumn("h", F.xxhash64("tok")))
+    bits = toks.select(
+        "doc_id",
+        *[(F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
+          for i in range(64)])
+    agg = bits.groupBy("doc_id").agg(
+        *[F.sum(f"b{i}").alias(f"b{i}") for i in range(64)])
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i).cast("long") if i < 63 else \
+            F.when(F.col(f"b{i}") > 0,
+                   F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup keeping the smallest id per identical text (hash
+    groupBy; no text comparison shuffle beyond the hash key)."""
+    return (df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("h"))
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count("*").alias("n_copies")))

@@ -1,0 +1,123 @@
+"""Per-operator unit tests (SURVEY.md §5.2.2) over the pure-Python
+kernels shared-spec'd with the distributed plan (no Spark needed here;
+the Spark-side parity is covered by test_equality / test_modes)."""
+
+from __future__ import annotations
+
+from bank_statement_pdf_parser_spark import spec
+from bank_statement_pdf_parser_spark.operators.tokenize import (
+    _ocbc_cells, _parse_doc)
+from bank_statement_pdf_parser_spark.oracle import parser as op
+
+
+def test_line_offsets_roundtrip():
+    doc = "a\nbb\fccc\nd\ne\fff"
+    lines = op._lines_with_offsets(doc)
+    assert [(p, n) for p, n, _, _ in lines] == [
+        (1, 0), (1, 1), (2, 2), (2, 3), (2, 4), (3, 5)]
+    for _, _, off, raw in lines:
+        assert doc[off:off + len(raw)] == raw
+
+
+def test_freq_boiler_rule():
+    doc = "X\nkeep1\nCHROME\fX\nkeep2\nCHROME\fX\nkeep3\nCHROME"
+    freq = op._freq_boiler_set(doc)
+    assert "CHROME" in freq and "X" in freq
+    assert "keep1" not in freq
+    assert op._freq_boiler_set("X\nCHROME") == set()  # single page: off
+
+
+def test_ocbc_cells_offsets():
+    line = "|05 Jan|  PAY  X |   1.00| |2.00|"
+    cells = _ocbc_cells(line, 100)
+    texts = [(spec.OCBC_CELLS[i], line[s - 100:e - 100], t)
+             for i, s, e, t in cells]
+    for name, raw_slice, t in texts:
+        assert raw_slice == t
+    assert texts[0] == ("date", "05 Jan", "05 Jan")
+    assert texts[1] == ("description", "PAY  X", "PAY  X")
+    # blank deposit cell is skipped
+    assert [n for n, _, _ in texts] == ["date", "description",
+                                        "withdrawal", "balance"]
+
+
+def test_page_carry_dedup_and_balance_bf():
+    # NOTE: 3 pages on purpose — in a 2-page doc a page-carried anchor
+    # appears on EVERY page, so the D4 frequency rule removes both
+    # copies before D11 dedup is reached (frozen-spec interaction,
+    # identical in oracle and engine).
+    def hdr(p):
+        return ["UNITED OVERSEAS BANK LIMITED", "Account: 0000000001",
+                "Statement Period: 01 Jan 2026 to 31 Jan 2026", ""]
+
+    def foot(p):
+        return [f"Page {p} of 3", "UOB is regulated by MAS"]
+
+    a = f"{'05 Jan 2026':<12}{'PAY A':<40}{'1.00':>16}{'':<16}{'5.00':>16}"
+    b = f"{'06 Jan 2026':<12}{'PAY B':<40}{'2.00':>16}{'':<16}{'3.00':>16}"
+    c = f"{'07 Jan 2026':<12}{'PAY C':<40}{'3.00':>16}{'':<16}{'0.00':>16}"
+    page1 = "\n".join(hdr(1) + [a] + foot(1))
+    page2 = "\n".join(hdr(2) + ["BALANCE B/F", a, b] + foot(2))
+    page3 = "\n".join(hdr(3) + [c] + foot(3))
+    doc = "\f".join([page1, page2, page3])
+    recs = _parse_doc(doc, "UOB")
+    descs = [r[12][0].strip() for r in recs]
+    assert descs == ["PAY A", "PAY B", "PAY C"]  # dup anchor dropped once
+    spans, txns = op.parse_statement(doc, "UOB")
+    assert [t["description"] for t in txns] == ["PAY A", "PAY B", "PAY C"]
+    assert txns[0]["page"] == 1
+    assert txns[1]["page"] == 2
+
+
+def test_split_txn_across_page_boundary():
+    anchor = f"{'05 Jan 2026':<12}{'PAY A':<40}{'1.00':>16}{'':<16}{'5.00':>16}"
+    cont = f"{'':<12}{'MORE DESC':<40}{'':<48}"
+    page1 = "\n".join(["UNITED OVERSEAS BANK LIMITED", "Account: 0000000001",
+                       "Statement Period: 01 Jan 2026 to 31 Jan 2026", "",
+                       anchor, "Page 1 of 2", "UOB is regulated by MAS"])
+    page2 = "\n".join(["UNITED OVERSEAS BANK LIMITED", "Account: 0000000001",
+                       "Statement Period: 01 Jan 2026 to 31 Jan 2026", "",
+                       cont, "Page 2 of 2", "UOB is regulated by MAS"])
+    doc = page1 + "\f" + page2
+    _, txns = op.parse_statement(doc, "UOB")
+    assert len(txns) == 1
+    assert txns[0]["description"] == "PAY A MORE DESC"
+    assert txns[0]["page"] == 1
+    # span covers from the anchor into page 2 (raw slice semantics)
+    spans, _ = op.parse_statement(doc, "UOB")
+    s = spans[0]
+    assert doc[s["span_start"]:s["span_end"]] == s["text"]
+    assert "MORE DESC" in s["text"]
+
+
+def test_html_entities_and_offsets():
+    doc = ('<html><head><style>x</style></head><body><nav>no</nav>'
+           '<div class="content"><p>a &amp; b</p> <p> c&nbsp;d </p></div>'
+           '<footer>no</footer></body></html>')
+    spans = op.parse_html(doc)
+    assert [s["text"] for s in spans] == ["a & b", "c d"]
+    for s in spans:
+        raw = doc[s["span_start"]:s["span_end"]]
+        assert raw.strip() == raw  # trimmed bounds
+    assert spans[0]["span_start"] == doc.index("a &amp; b")
+
+
+def test_tokenizer_matches_oracle_structurally(fixture_rows):
+    from bank_statement_pdf_parser_spark.oracle import parser as oracle
+    checked = 0
+    for r in fixture_rows:
+        doc = oracle.resolve_payload(r["text"], r["tool"])
+        kind = oracle.classify(doc) if doc else None
+        if kind in (None, "HTML"):
+            continue
+        recs = _parse_doc(doc, kind)
+        spans, txns = oracle.parse_statement(doc, kind)
+        assert len(recs) == len(txns)
+        for rec, t, s in zip(
+                recs, txns,
+                [x for x in spans if x["span_kind"] == "txn"]):
+            page, ls, le, ss, se, stext = rec[0], rec[1], rec[2], rec[3], rec[4], rec[5]
+            assert (page, ls, le) == (t["page"], t["line_start"], t["line_end"])
+            assert (ss, se, stext) == (s["span_start"], s["span_end"], s["text"])
+        checked += 1
+    assert checked > 50

@@ -1,0 +1,58 @@
+"""Dump .explain('formatted') for the key plans into PLANS.md so plan
+shape (pushdown, codegen spans, exchange count) is reviewable."""
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def explain_str(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main():
+    from pyspark.sql import functions as F
+    from bank_statement_pdf_parser_spark.session import get_spark
+    from bank_statement_pdf_parser_spark.plans.extract import extract_all
+    from bank_statement_pdf_parser_spark import fixtures
+    import tempfile, os
+
+    spark = get_spark(app="plans", master="local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp()
+    path = os.path.join(tmp, "t.parquet")
+    fixtures.write_transcripts_parquet(fixtures.gen_transcripts(5, 1), path)
+    df = spark.read.parquet(path)
+
+    sections = []
+    out = extract_all(df)
+    sections.append(("fused pipeline — transactions", explain_str(out.transactions)))
+    sections.append(("fused pipeline — spans", explain_str(out.spans)))
+    rel = extract_all(df, mode="relational")
+    sections.append(("relational mode — transactions", explain_str(rel.transactions)))
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    q = (li.filter(F.col("l_quantity") > 10)
+         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+         .groupBy("p_brand").agg(F.sum("l_extendedprice").alias("rev"))
+         .select("p_brand", "rev"))
+    sections.append(("pushdown + broadcast join + partial agg", explain_str(q)))
+
+    with open("/root/repo/PLANS.md", "w") as fh:
+        fh.write("# Physical plans (explain formatted)\n\n"
+                 "Regenerate with `python tools/dump_plans.py`.\n")
+        for title, body in sections:
+            fh.write(f"\n## {title}\n\n```\n{body}\n```\n")
+    print("written PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
