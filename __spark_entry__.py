@@ -639,7 +639,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY md5(text))"),
         "x_binary_checksum": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, "
-            "CAST(SUM(ascii(substring(text, i, 1))) AS BIGINT) AS checksum "
-            "FROM documents, generate_series(1, length(text)) AS g(i) "
-            "WHERE doc_id < 200 GROUP BY doc_id, length(text)"),
+            "CAST(list_aggregate(list_transform(string_split(text, ''), "
+            "x -> ascii(x)), 'sum') AS BIGINT) AS checksum "
+            "FROM documents WHERE doc_id < 200"),
     }

@@ -120,6 +120,10 @@ def sample_frames(every_k: int = 2):
     """Video payloads -> every k-th frame as its own row (1->N explode
     inside the UDF; frame geometry from the header)."""
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # local import: struct.Struct instances aren't picklable, so the
+        # closure must not capture module globals by value
+        from bank_statement_pdf_parser_spark.operators.multimodal import (
+            HEADER, KIND_VIDEO, MAGIC)
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):

@@ -12,8 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 # deterministic affine permutation constants (public textbook scheme:
-# h_i(x) = (a_i * x + b_i) mod p, p Mersenne prime 2^61-1)
-P = (1 << 61) - 1
+# h_i(x) = (a_i * x + b_i) mod p). p is the Mersenne prime 2^31-1 so
+# a*h + b stays well inside int64 — Spark 4 ANSI mode makes silent
+# wraparound a hard error.
+P = (1 << 31) - 1
 
 
 def _perm_consts(n: int, seed: int = 7):

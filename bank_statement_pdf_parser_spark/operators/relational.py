@@ -59,9 +59,12 @@ def _pages_with_offsets(doc: Column) -> Column:
 def _freq_boiler_arr(doc: Column) -> Column:
     """D4: stripped lines present on every page (multi-page docs)."""
     pages = F.split(doc, spec.PAGE_SEP)
+    # NB: never pass F.trim itself to F.transform — its optional second
+    # parameter makes transform feed the element INDEX as the trim
+    # character set (PySpark arity sniffing), silently corrupting lines.
     per_page = F.transform(
         pages, lambda p: F.array_distinct(
-            F.transform(F.split(p, spec.LINE_SEP), F.trim)))
+            F.transform(F.split(p, spec.LINE_SEP), lambda l: F.trim(l))))
     inter = F.aggregate(
         F.slice(per_page, F.lit(2), F.size(per_page) - 1),
         F.element_at(per_page, 1),

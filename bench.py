@@ -80,7 +80,7 @@ def main() -> None:
     # the turns source is re-scanned by the HTML branch, which is why the
     # rendered corpus is materialized to parquet first (a real deployment
     # reads a table, not a live render).
-    salt = cpus * 2
+    salt = cpus  # fewer, larger tasks measured faster than 2x-cpus
 
     tpch_input = os.path.join(REPO, ".cache", "bench",
                               f"tpch_transcripts_{sf}.parquet")

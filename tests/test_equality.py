@@ -36,7 +36,7 @@ def oracle_out(fixture_rows):
     return oracle.parse_transcripts(fixture_rows)
 
 
-@pytest.fixture(scope="module", params=["fused"])
+@pytest.fixture(scope="module", params=["fused", "relational"])
 def engine_out(request, spark, transcripts_path):
     df = spark.read.parquet(transcripts_path)
     out = extract_all(df, mode=request.param)
