@@ -461,6 +461,38 @@ def _q_x_binary_checksum(spark, sf_dir):
     return df.mapInPandas(kernel, "doc_id long, n_bytes long, checksum long")
 
 
+def _q_f6_string_utils(spark, sf_dir):
+    _prep(spark)
+    return (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+            .select("doc_id",
+                    F.upper(F.substring("text", 1, 10)).alias("head10"),
+                    F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded"),
+                    F.length(F.translate("text", "aeiou", ""))
+                    .cast("long").alias("n_non_vowel"),
+                    F.locate(" the ", F.col("text")).cast("long").alias("pos_the")))
+
+
+def _q_f7_math_dates(spark, sf_dir):
+    _prep(spark)
+    d = F.col("o_orderdate").cast("date")
+    return (_t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+            .select("o_orderkey",
+                    F.last_day(d).alias("month_end"),
+                    F.datediff(F.last_day(d), d).cast("long").alias("days_to_me"),
+                    F.abs(F.round(F.col("o_totalprice").cast("decimal(18,2)"), 0))
+                    .cast("decimal(18,0)").alias("rounded_total")))
+
+
+def _q_w5_frame_agg(spark, sf_dir):
+    _prep(spark)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return (_t(spark, sf_dir, "events")
+            .select("event_id", "user_id",
+                    F.first("event_type").over(w).alias("first_type"),
+                    F.last("event_type").over(w).alias("last_type")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_extract_transactions": _flagship_transactions,
@@ -494,6 +526,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_quality": _q_x_quality,
         "x_langid": _q_x_langid,
         "x_ann_cosine": _q_x_ann_cosine,
+        "f6_string_utils": _q_f6_string_utils,
+        "f7_math_dates": _q_f7_math_dates,
+        "w5_frame_agg": _q_w5_frame_agg,
         "x_neardup_pipeline": _q_x_neardup_pipeline,
         "x_simhash": _q_x_simhash,
         "x_exact_dedup_groups": _q_x_exact_dedup_groups,
@@ -628,6 +663,29 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY vec_id, label) "
             "SELECT vec_id, label, round(dot/nrm, 6) AS cos_r FROM d "
             "WHERE round(dot/nrm, 6) >= 0.25"),
+        "f6_string_utils": (
+            "SELECT doc_id, upper(substring(text, 1, 10)) AS head10, "
+            "lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded, "
+            "CAST(length(translate(text, 'aeiou', '')) AS BIGINT) "
+            "AS n_non_vowel, "
+            "CAST(strpos(text, ' the ') AS BIGINT) AS pos_the "
+            "FROM documents WHERE doc_id < 300"),
+        "f7_math_dates": (
+            "SELECT o_orderkey, CAST(last_day(CAST(o_orderdate AS DATE)) "
+            "AS DATE) AS month_end, "
+            "CAST(date_diff('day', CAST(o_orderdate AS DATE), "
+            "last_day(CAST(o_orderdate AS DATE))) AS BIGINT) AS days_to_me, "
+            "CAST(abs(round(CAST(o_totalprice AS DECIMAL(18,2)), 0)) "
+            "AS DECIMAL(18,0)) AS rounded_total "
+            "FROM orders WHERE o_orderkey < 2000"),
+        "w5_frame_agg": (
+            "SELECT event_id, user_id, "
+            "first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, "
+            "event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED "
+            "FOLLOWING) AS first_type, "
+            "last_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, "
+            "event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED "
+            "FOLLOWING) AS last_type FROM events"),
         # x_simhash: rows-only (engine hash functions differ by design)
         "x_neardup_pipeline": (
             "SELECT doc_id AS a, doc_id + 100000 AS b, "
