@@ -421,6 +421,24 @@ def _q_x_neardup_pipeline(spark, sf_dir):
             .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
 
 
+def _q_x_ann_lsh(spark, sf_dir):
+    """Random-hyperplane LSH ANN, end-to-end: bucket -> candidate join ->
+    exact-cosine verify. Corpus is embeddings UNION an exact copy shifted
+    by +100000; identical vectors share every sign bit, so the verified
+    >=0.99 pairs are exactly {(i, i+100000)} — ANSI-SQL-predictable."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.ann import (
+        ann_candidate_pairs, rhp_buckets, verified_cosine_pairs)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
+    sig = rhp_buckets(corpus, n_planes=14)
+    cand = ann_candidate_pairs(sig)
+    pairs = verified_cosine_pairs(corpus, cand)
+    return (pairs.filter(F.round("cos", 6) >= 0.99)
+            .select("a", "b", F.round("cos", 6).alias("cos_r")))
+
+
 def _q_x_simhash(spark, sf_dir):
     _prep(spark)
     from bank_statement_pdf_parser_spark.operators.neardup import simhash64
@@ -530,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f7_math_dates": _q_f7_math_dates,
         "w5_frame_agg": _q_w5_frame_agg,
         "x_neardup_pipeline": _q_x_neardup_pipeline,
+        "x_ann_lsh": _q_x_ann_lsh,
         "x_simhash": _q_x_simhash,
         "x_exact_dedup_groups": _q_x_exact_dedup_groups,
         "x_binary_checksum": _q_x_binary_checksum,
@@ -690,6 +709,9 @@ def oracle_sql() -> dict[str, str]:
         "x_neardup_pipeline": (
             "SELECT doc_id AS a, doc_id + 100000 AS b, "
             "CAST(1.0 AS DOUBLE) AS jaccard FROM documents"),
+        "x_ann_lsh": (
+            "SELECT vec_id AS a, vec_id + 100000 AS b, "
+            "CAST(1.0 AS DOUBLE) AS cos_r FROM embeddings"),
         "x_exact_dedup_groups": (
             "SELECT count(*) AS n_groups, max(cnt) AS max_copies, "
             "CAST(SUM(keep_id) AS BIGINT) AS sum_keep FROM ("
