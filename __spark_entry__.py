@@ -385,20 +385,13 @@ def _q_x_langid(spark, sf_dir):
 
 def _q_x_ann_cosine(spark, sf_dir):
     _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.ann import cosine_to_query
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb"))
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0), lambda acc, v: acc + v)
-
-    e = emb.crossJoin(F.broadcast(q))
-    cos = dot(F.col("embedding"), F.col("q_emb")) / (
-        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-        * F.sqrt(dot(F.col("q_emb"), F.col("q_emb"))))
-    return (e.select("vec_id", "label", F.round(cos, 6).alias("cos_r"))
+    scored = cosine_to_query(emb, q)
+    return (scored.select("vec_id", "label",
+                          F.round("cos", 6).alias("cos_r"))
             .filter(F.col("cos_r") >= 0.25))
 
 
