@@ -56,7 +56,12 @@ def date_from_cell(bank_lit: str, cell: Column,
     elif bank_lit == "OCBC":
         months = F.array(*[F.lit(m) for m in spec.MONTHS])
         mon = F.array_position(months, F.substring(s, 4, 3)).cast("int")
-        year = F.when(mon < p_start_mon, p_end_year).otherwise(p_start_year)
+        # Missing period header -> frozen default period (the oracle's
+        # parse_date applies the same fallback).
+        psm = F.coalesce(p_start_mon, F.lit(spec.OCBC_DEFAULT_START_MON))
+        psy = F.coalesce(p_start_year, F.lit(spec.OCBC_DEFAULT_YEAR))
+        pey = F.coalesce(p_end_year, F.lit(spec.OCBC_DEFAULT_YEAR))
+        year = F.when(mon < psm, pey).otherwise(psy)
         d = F.make_date(year, mon, F.substring(s, 1, 2).cast("int"))
     else:
         raise ValueError(bank_lit)
@@ -82,9 +87,12 @@ def normalize_records(records: DataFrame) -> DataFrame:
     d = amount_struct(F.col("dep_cell"))
     bal = amount_struct(F.col("bal_cell"))
 
+    # F3 assignment order (spec): withdrawal first, deposit second, last
+    # writer wins — so the deposit-cell branches take precedence in both
+    # CASEs when both cells are populated.
     debit = (
-        F.when(w.isNotNull() & (w["marker"] != "CR"), w["val"])
-        .when(d.isNotNull() & (d["marker"] == "DR"), d["val"])
+        F.when(d.isNotNull() & (d["marker"] == "DR"), d["val"])
+        .when(w.isNotNull() & (w["marker"] != "CR"), w["val"])
     )
     credit = (
         F.when(d.isNotNull() & (d["marker"] != "DR"), d["val"])

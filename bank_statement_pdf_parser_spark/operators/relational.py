@@ -77,7 +77,12 @@ def _ocbc_cells_col(line: Column, off: Column) -> Column:
     """Lattice cells of one row: array<struct<cell_idx,start,end,text>>
     (D6). Rail positions via prefix-length fold over the '|' splits."""
     parts = F.split(line, r"\|")
-    idxs = F.sequence(F.lit(1), F.greatest(F.size(parts) - 2, F.lit(0)))
+    # <3 parts (pipe-less or single-cell line): no lattice cells. The
+    # guard matters because sequence(1, 0) would yield the DESCENDING
+    # [1, 0] and element_at(parts, 2) would throw under ANSI mode.
+    idxs = F.when(F.size(parts) >= 3,
+                  F.sequence(F.lit(1), F.size(parts) - 2)) \
+        .otherwise(F.array().cast("array<int>"))
     # part i (0-based) starts at sum(len(parts[:i])) + i  ==  the prefix
     # fold of (len+1); add the part's own leading-space count for the
     # trimmed cell start.

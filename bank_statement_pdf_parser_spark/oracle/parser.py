@@ -91,7 +91,9 @@ def parse_date(bank: str, cell: str, period: tuple[date, date] | None) -> date |
         return date(year, mm, dd)
     if bank == "OCBC":
         dd, mon = int(s[0:2]), spec.MONTH_NUM[s[3:6]]
-        start, end = period if period else (date(2026, 1, 1), date(2026, 12, 31))
+        start, end = period if period else (
+            date(spec.OCBC_DEFAULT_YEAR, spec.OCBC_DEFAULT_START_MON, 1),
+            date(spec.OCBC_DEFAULT_YEAR, 12, 31))
         year = end.year if mon < start.month else start.year
         return date(year, mon, dd)
     raise ValueError(bank)
@@ -334,6 +336,8 @@ def parse_transcripts(rows: list[dict]):
     (conv_id, turn_idx, idx) regardless of input row order."""
     span_rows, txn_rows = [], []
     for r in sorted(rows, key=lambda r: (r["conv_id"], r["turn_idx"])):
+        if r.get("role") not in spec.ROLES:
+            continue
         doc = resolve_payload(r.get("text"), r.get("tool"))
         spans, txns = parse_document(doc)
         for s in spans:

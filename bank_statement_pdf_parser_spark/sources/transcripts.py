@@ -50,7 +50,7 @@ def with_resolved_payload(df: DataFrame) -> DataFrame:
     """P1/P2/P3 + OCBC period metadata, all turn-level and shuffle-free."""
     doc = resolved_doc_col(F.col("text"), F.col("tool"))
     out = (
-        df.filter(F.col("role").isin("user", "assistant", "tool"))
+        df.filter(F.col("role").isin(*spec.ROLES))
         .select("conv_id", "turn_idx", doc.alias("doc"))
         .filter(F.col("doc").isNotNull() & (F.length("doc") > 0))
         .withColumn("kind", kind_col(F.col("doc")))
@@ -58,13 +58,21 @@ def with_resolved_payload(df: DataFrame) -> DataFrame:
     )
     months = F.array(*[F.lit(m) for m in spec.MONTHS])
     p = lambda g: F.regexp_extract(F.col("doc"), spec.OCBC_PERIOD_RX, g)  # noqa: E731
+    # Docs without the period header: regexp_extract yields '' and
+    # array_position yields 0 — nullif-guard both so the '' -> int cast
+    # cannot throw under ANSI mode; normalize.date_from_cell applies the
+    # frozen default period (spec.OCBC_DEFAULT_*) to the NULLs, exactly
+    # like the oracle's parse_date fallback.
     return (
         out.withColumn(
             "p_start_mon",
             F.when(F.col("kind") == "OCBC",
-                   F.array_position(months, p(2)).cast("int")))
+                   F.nullif(F.array_position(months, p(2)),
+                            F.lit(0)).cast("int")))
         .withColumn("p_start_year",
-                    F.when(F.col("kind") == "OCBC", p(3).cast("int")))
+                    F.when(F.col("kind") == "OCBC",
+                           F.nullif(p(3), F.lit("")).cast("int")))
         .withColumn("p_end_year",
-                    F.when(F.col("kind") == "OCBC", p(6).cast("int")))
+                    F.when(F.col("kind") == "OCBC",
+                           F.nullif(p(6), F.lit("")).cast("int")))
     )

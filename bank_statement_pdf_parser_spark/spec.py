@@ -39,6 +39,10 @@ BANK_SIGNATURES: list[tuple[str, str]] = [
 ]
 HTML_PREFIX_RX = r"^\s*<html"
 
+# Only these roles are parsed; turns with any other role (e.g. 'system')
+# are ignored by BOTH the engine and the oracle.
+ROLES = ("user", "assistant", "tool")
+
 PAGE_SEP = "\f"
 LINE_SEP = "\n"
 
@@ -148,6 +152,11 @@ OCBC_CELLS = ["date", "description", "withdrawal", "deposit", "balance"]
 # ---------------------------------------------------------------------------
 # Amounts: optional parens => negative; thousands commas; optional trailing
 # " CR"/" DR" marker which overrides debit/credit column position; 2dp.
+# F3 assignment order (frozen): the withdrawal cell is assigned first,
+# the deposit cell second — LAST WRITER WINS. So when both cells are
+# populated, a DR-marked deposit overrides a debit taken from the
+# withdrawal cell, and an unmarked deposit overrides a credit taken
+# from a CR-marked withdrawal cell.
 AMOUNT_MARKER_RX = r" (CR|DR)$"
 AMOUNT_STRIP_RX = r"[(),]"
 AMOUNT_VALID_RX = r"^\(?\d{1,3}(,\d{3})*\.\d{2}\)?( (CR|DR))?$"
@@ -169,6 +178,10 @@ MONTH_NUM = {m: i + 1 for i, m in enumerate(MONTHS)}
 OCBC_PERIOD_RX = (
     r"Period (\d{2}) ([A-Z][a-z]{2}) (\d{4}) - (\d{2}) ([A-Z][a-z]{2}) (\d{4})"
 )
+# Documents missing the period header fall back to a fixed default
+# period Jan-Dec of this year, so every txn month resolves to it.
+OCBC_DEFAULT_START_MON = 1
+OCBC_DEFAULT_YEAR = 2026
 
 # Description ref extraction (F5): leading "REF <token> " prefix is pulled
 # into the `ref` field (HDFC uses its chq_ref column instead).

@@ -2,14 +2,39 @@
 
 Works because every stage of the batch plan except the per-turn index
 windows is stateless; the indexes are assigned inside foreachBatch
-(each micro-batch holds whole turns)."""
+(each micro-batch holds whole turns).
+
+Exactly-once output: each micro-batch writes into its own
+`batch_id=N` partition via dynamic-partition overwrite, so a batch
+retried from the checkpoint after a partial write REPLACES its own
+partition instead of appending duplicates.
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..plans.extract import build_spans, build_transactions, build_records
 from ..sources.transcripts import with_resolved_payload
+
+
+def process_micro_batch(batch_df: DataFrame, batch_id: int,
+                        output_dir: str) -> None:
+    """One micro-batch -> its own batch_id partition (idempotent on
+    retry: dynamic overwrite replaces exactly this batch's output)."""
+    spark = batch_df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    turns = with_resolved_payload(batch_df)
+    records = build_records(turns, mode="fused")
+    (build_spans(turns, records)
+     .withColumn("batch_id", F.lit(int(batch_id)))
+     .write.mode("overwrite").partitionBy("batch_id")
+     .parquet(f"{output_dir}/spans"))
+    (build_transactions(records)
+     .withColumn("batch_id", F.lit(int(batch_id)))
+     .write.mode("overwrite").partitionBy("batch_id")
+     .parquet(f"{output_dir}/transactions"))
 
 
 def extract_stream(transcript_stream: DataFrame, output_dir: str,
@@ -18,12 +43,7 @@ def extract_stream(transcript_stream: DataFrame, output_dir: str,
     schema. Returns the started StreamingQuery."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        turns = with_resolved_payload(batch_df)
-        records = build_records(turns, mode="fused")
-        build_spans(turns, records).write.mode("append").parquet(
-            f"{output_dir}/spans")
-        build_transactions(records).write.mode("append").parquet(
-            f"{output_dir}/transactions")
+        process_micro_batch(batch_df, batch_id, output_dir)
 
     return (transcript_stream.writeStream
             .option("checkpointLocation", checkpoint_dir)
