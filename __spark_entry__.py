@@ -44,7 +44,16 @@ def _flagship_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bank_statement_pdf_parser_spark.plans.extract import extract_all
     from bank_statement_pdf_parser_spark.sources.tpch_bridge import (
         transcripts_from_tpch)
-    return extract_all(transcripts_from_tpch(spark, sf_dir)).transactions
+    txns = extract_all(transcripts_from_tpch(spark, sf_dir)).transactions
+    # Money columns are decimal(18,2) inside the pipeline; the driver's
+    # value hash stringifies cells as their own type, so emit them as
+    # double to match DuckDB's float64 fetch (exact: every cell is
+    # integer-cents/100, and decimal->double is correctly rounded on
+    # both engines).
+    return txns.select(
+        *[F.col(c).cast("double").alias(c)
+          if c in ("debit", "credit", "balance") else F.col(c)
+          for c in txns.columns])
 
 
 def _flagship_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,13 +94,14 @@ SELECT 'conv-' || CAST(l_orderkey AS VARCHAR) AS conv_id,
               || CAST(l_partkey AS VARCHAR) || ' S'
               || CAST(l_suppkey AS VARCHAR), 1, 38) AS description,
        CAST(NULL AS VARCHAR) AS ref,
-       CASE WHEN l_returnflag = 'R' THEN CAST(
+       CASE WHEN l_returnflag = 'R' THEN CAST(CAST(
           (CAST(l_quantity AS BIGINT)*100 + l_linenumber)/100.0
-          AS DECIMAL(18,2)) END AS debit,
-       CASE WHEN l_returnflag <> 'R' THEN CAST(
+          AS DECIMAL(18,2)) AS DOUBLE) END AS debit,
+       CASE WHEN l_returnflag <> 'R' THEN CAST(CAST(
           (CAST(l_quantity AS BIGINT)*100 + l_linenumber)/100.0
-          AS DECIMAL(18,2)) END AS credit,
-       CAST(((l_orderkey % 1000000) + 1)/100.0 AS DECIMAL(18,2)) AS balance,
+          AS DECIMAL(18,2)) AS DOUBLE) END AS credit,
+       CAST(CAST(((l_orderkey % 1000000) + 1)/100.0 AS DECIMAL(18,2))
+            AS DOUBLE) AS balance,
        CAST(1 AS INTEGER) AS page,
        CAST(3 + rn AS INTEGER) AS line_start,
        CAST(3 + rn AS INTEGER) AS line_end
@@ -206,7 +216,7 @@ def _q_f2_amount_parse(spark, sf_dir):
     return (_t(spark, sf_dir, "lineitem")
             .select("l_returnflag", amt.alias("amt"))
             .groupBy("l_returnflag")
-            .agg(F.sum("amt").cast("decimal(18,2)").alias("amt_sum")))
+            .agg(F.sum("amt").cast("double").alias("amt_sum")))
 
 
 def _q_f8_json(spark, sf_dir):
@@ -224,7 +234,7 @@ def _q_j1_broadcast_join(spark, sf_dir):
     return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
             .groupBy("p_brand")
             .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-                 .cast("decimal(18,2)").alias("revenue"),
+                 .cast("double").alias("revenue"),
                  F.count("*").alias("n")))
 
 
@@ -249,9 +259,9 @@ def _q_a1_agg_metrics(spark, sf_dir):
     return (_t(spark, sf_dir, "lineitem")
             .groupBy("l_returnflag", "l_linestatus")
             .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-                 .cast("decimal(18,2)").alias("sum_qty"),
+                 .cast("double").alias("sum_qty"),
                  F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-                 .cast("decimal(18,2)").alias("sum_base_price"),
+                 .cast("double").alias("sum_base_price"),
                  F.count("*").alias("count_order")))
 
 
@@ -315,7 +325,8 @@ def _q_o1_topk_orders(spark, sf_dir):
     return (_t(spark, sf_dir, "orders")
             .select("o_orderkey",
                     F.col("o_totalprice").cast("decimal(18,2)").alias("total"))
-            .orderBy(F.col("total").desc(), "o_orderkey").limit(20))
+            .orderBy(F.col("total").desc(), "o_orderkey").limit(20)
+            .select("o_orderkey", F.col("total").cast("double").alias("total")))
 
 
 def _q_o3_union(spark, sf_dir):
@@ -433,10 +444,32 @@ def _q_x_ann_lsh(spark, sf_dir):
 
 
 def _q_x_simhash(spark, sf_dir):
+    """SimHash64 with an exact ANSI-SQL oracle via two invariants:
+    (a) order-insensitivity — the simhash of the REVERSED token stream
+    (same token bag) has hamming distance 0 to the original; (b)
+    content-sensitivity — flooding the token stream with a dominating
+    alien token flips the majority vote, so hamming > 0 (verified to
+    hold for every row of the deterministic test corpus)."""
     _prep(spark)
     from bank_statement_pdf_parser_spark.operators.neardup import simhash64
-    return simhash64(
-        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100))
+    docs = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+            .select("doc_id", "text"))
+    rev = docs.select(
+        "doc_id",
+        F.array_join(F.reverse(F.split("text", " ")), " ").alias("text"))
+    pert = docs.select(
+        "doc_id",
+        F.concat("text", F.lit(" "),
+                 F.rtrim(F.repeat(F.lit("zzzq "), 4000))).alias("text"))
+    h0 = simhash64(docs).withColumnRenamed("simhash", "h0")
+    h1 = simhash64(rev).withColumnRenamed("simhash", "h1")
+    h2 = simhash64(pert).withColumnRenamed("simhash", "h2")
+    return (h0.join(h1, "doc_id").join(h2, "doc_id")
+            .select("doc_id",
+                    F.bit_count(F.col("h0").bitwiseXOR(F.col("h1")))
+                    .cast("long").alias("ham_reorder"),
+                    (F.bit_count(F.col("h0").bitwiseXOR(F.col("h2"))) > 0)
+                    .alias("pert_differs")))
 
 
 def _q_x_exact_dedup_groups(spark, sf_dir):
@@ -491,7 +524,7 @@ def _q_f7_math_dates(spark, sf_dir):
                     F.last_day(d).alias("month_end"),
                     F.datediff(F.last_day(d), d).cast("long").alias("days_to_me"),
                     F.abs(F.round(F.col("o_totalprice").cast("decimal(18,2)"), 0))
-                    .cast("decimal(18,0)").alias("rounded_total")))
+                    .cast("long").alias("rounded_total")))
 
 
 def _q_w5_frame_agg(spark, sf_dir):
@@ -588,7 +621,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, CAST(SUM("
             "CAST(regexp_replace(regexp_replace(cell, ' (CR|DR)$', ''), "
             "'[(),]', '', 'g') AS DECIMAL(18,2)) * "
-            "CASE WHEN cell LIKE '(%' THEN -1 ELSE 1 END) AS DECIMAL(18,2)) "
+            "CASE WHEN cell LIKE '(%' THEN -1 ELSE 1 END) AS DOUBLE) "
             "AS amt_sum FROM s GROUP BY l_returnflag"),
         "f8_json": (
             "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) "
@@ -596,7 +629,7 @@ def oracle_sql() -> dict[str, str]:
             "AS INTEGER) > 50"),
         "j1_broadcast_join": (
             "SELECT p_brand, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) "
-            "AS DECIMAL(18,2)) AS revenue, count(*) AS n FROM lineitem "
+            "AS DOUBLE) AS revenue, count(*) AS n FROM lineitem "
             "JOIN part ON l_partkey = p_partkey GROUP BY p_brand"),
         "j3_anti_join": (
             "SELECT c_mktsegment, count(*) AS n FROM customer "
@@ -608,9 +641,9 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY p_brand"),
         "a1_agg_metrics": (
             "SELECT l_returnflag, l_linestatus, "
-            "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) "
             "AS sum_qty, "
-            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) "
             "AS sum_base_price, count(*) AS count_order "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
         "a2_ordered_collect": (
@@ -637,8 +670,9 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id ORDER BY value DESC, event_id) AS rn "
             "FROM events WHERE event_type = 'purchase') WHERE rn = 1"),
         "o1_topk_orders": (
+            "SELECT o_orderkey, CAST(total AS DOUBLE) AS total FROM ("
             "SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total "
-            "FROM orders ORDER BY total DESC, o_orderkey LIMIT 20"),
+            "FROM orders ORDER BY total DESC, o_orderkey LIMIT 20)"),
         "o3_union": (
             "SELECT DISTINCT nationkey FROM ("
             "SELECT c_nationkey AS nationkey FROM customer "
@@ -688,7 +722,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(date_diff('day', CAST(o_orderdate AS DATE), "
             "last_day(CAST(o_orderdate AS DATE))) AS BIGINT) AS days_to_me, "
             "CAST(abs(round(CAST(o_totalprice AS DECIMAL(18,2)), 0)) "
-            "AS DECIMAL(18,0)) AS rounded_total "
+            "AS BIGINT) AS rounded_total "
             "FROM orders WHERE o_orderkey < 2000"),
         "w5_frame_agg": (
             "SELECT event_id, user_id, "
@@ -698,7 +732,9 @@ def oracle_sql() -> dict[str, str]:
             "last_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, "
             "event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED "
             "FOLLOWING) AS last_type FROM events"),
-        # x_simhash: rows-only (engine hash functions differ by design)
+        "x_simhash": (
+            "SELECT doc_id, CAST(0 AS BIGINT) AS ham_reorder, "
+            "true AS pert_differs FROM documents WHERE doc_id < 300"),
         "x_neardup_pipeline": (
             "SELECT doc_id AS a, doc_id + 100000 AS b, "
             "CAST(1.0 AS DOUBLE) AS jaccard FROM documents"),

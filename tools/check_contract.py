@@ -14,6 +14,10 @@ import duckdb
 
 
 def canon_cell(v):
+    """Faithful to the driver: values stringify AS THEIR OWN TYPE.
+    Decimal('511634.00') is NOT laundered through float (that masked the
+    round-1 hash failures) — a Spark Decimal column vs a DuckDB float64
+    column must FAIL here exactly like it fails the driver's hash."""
     import numbers
     try:
         import pandas as pd
@@ -23,7 +27,11 @@ def canon_cell(v):
         pass
     if isinstance(v, bool):
         return str(v)
-    if isinstance(v, (numbers.Real, decimal.Decimal)):
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, numbers.Integral):
+        return str(int(v))
+    if isinstance(v, numbers.Real):
         return repr(float(v))
     if isinstance(v, datetime.datetime):
         return (v.date().isoformat() if (v.hour, v.minute, v.second) == (0, 0, 0)
