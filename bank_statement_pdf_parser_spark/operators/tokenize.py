@@ -24,6 +24,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from .. import spec
+from .html import _spans_one as _html_spans
 
 # mapInPandas output: one row per surviving transaction record.
 RECORDS_DDL = (
@@ -159,10 +160,31 @@ def _parse_doc(doc: str, bank: str):
 
 
 def tokenize_records(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: turn rows -> transaction records."""
+    """mapInPandas kernel: turn rows -> records, ONE raw-text pass.
+
+    Statement turns yield transaction records; HTML turns yield one
+    pseudo-record per main-content span (bank='HTML', span fields set,
+    cell/amount fields NULL — same D5 logic as operators/html.py, fused
+    here so spans AND transactions derive from a single scan of the
+    corpus: at 100 TB a second raw pass for the HTML branch would be
+    the dominant extra cost)."""
     for pdf in batches:
         out = {c: [] for c in _RECORD_COLS}
         for row in pdf.itertuples(index=False):
+            if row.kind == "HTML":
+                for s in _html_spans(row.doc):
+                    for c in _RECORD_COLS:
+                        out[c].append(None)
+                    n = len(out["conv_id"])
+                    out["conv_id"][n - 1] = row.conv_id
+                    out["turn_idx"][n - 1] = row.turn_idx
+                    out["bank"][n - 1] = "HTML"
+                    out["span_start"][n - 1] = s["span_start"]
+                    out["span_end"][n - 1] = s["span_end"]
+                    out["span_text"][n - 1] = s["text"]
+                    out["desc_parts"][n - 1] = []
+                    out["cells"][n - 1] = []
+                continue
             psm = None if pd.isna(row.p_start_mon) else int(row.p_start_mon)
             psy = None if pd.isna(row.p_start_year) else int(row.p_start_year)
             pey = None if pd.isna(row.p_end_year) else int(row.p_end_year)

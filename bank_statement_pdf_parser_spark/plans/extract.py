@@ -1,17 +1,20 @@
 """End-to-end extraction plan (SURVEY.md §3.2).
 
-transcripts --(P1-P3 Catalyst)--> resolved turns
-          +--(statement turns)--> fused tokenizer (D1-D11, mapInPandas)
-          |                        -> records -> F1-F8 Catalyst -> transactions
-          +--(HTML turns)-------> D5 pandas UDF -> main spans
-spans = txn spans  U  table_cell spans  U  main spans   (O3)
+fused (default): transcripts --(P1-P3 Catalyst)--> resolved turns
+    --> ONE mapInPandas pass (D1-D11 + D5 HTML) --> records
+        (txn records + bank='HTML' main-span pseudo-records)
+    transactions = F1-F8 Catalyst over txn records
+    spans = txn spans U table_cell spans U main spans   (O3)
+relational: statement turns go through the pure-Catalyst operator
+    composition; HTML turns through the D5 pandas UDF (U1) branch.
 span_idx / txn_idx via W1 window over (conv_id, turn_idx)
 
-Scale shape: raw text never crosses an Exchange — the only shuffles are
-over extracted *records* (orders of magnitude smaller than the corpus),
-for the per-turn index windows. Long-document skew is structurally
-bounded because every stage is turn-local (a group is one turn, never a
-whole conversation); residual skew from statement-heavy input splits is
+Scale shape: in fused mode raw text is scanned ONCE per action and
+never crosses an Exchange — the only shuffles are over extracted
+*records* (orders of magnitude smaller than the corpus), for the
+per-turn index windows. Long-document skew is structurally bounded
+because every stage is turn-local (a group is one turn, never a whole
+conversation); residual skew from statement-heavy input splits is
 handled by AQE + the optional salt repartition below.
 """
 
@@ -38,48 +41,79 @@ class ExtractOutputs:
 
 
 def build_records(turns: DataFrame, mode: str = "fused",
-                  salt_partitions: int | None = None) -> DataFrame:
-    """Statement turns -> structural records.
+                  salt_partitions: int | None = None,
+                  probe=None) -> DataFrame:
+    """Classified turns -> structural records.
 
-    mode='fused': single mapInPandas pass (default; zero text shuffles).
+    mode='fused': ONE mapInPandas pass over ALL turns (default; zero
+    text shuffles, and HTML main-content spans ride along as
+    bank='HTML' pseudo-records so downstream spans/transactions never
+    re-scan raw text).
     mode='relational': pure-Catalyst composition (operators/relational.py)
-    used to cross-validate operator semantics.
+    used to cross-validate operator semantics; HTML turns are handled
+    separately by build_spans' pandas-UDF branch (U1).
+
+    probe: optional Spark accumulator; when set, the fused kernel adds
+    the number of input turn rows it sees (used by tests to prove the
+    extraction DAG executes exactly once per sink job).
     """
-    stmt = turns.filter(F.col("kind") != "HTML")
-    if salt_partitions:
-        # Turn-granular salt (SURVEY.md §4.2): statements are independent
-        # per turn, so we may repartition on the full turn key to spread
-        # statement-heavy input splits across the cluster.
-        stmt = stmt.repartition(salt_partitions, "conv_id", "turn_idx")
     if mode == "fused":
-        return stmt.mapInPandas(tokenize_records, RECORDS_DDL)
+        src = turns
+        if salt_partitions:
+            # Turn-granular salt (SURVEY.md §4.2): turns are independent,
+            # so we may repartition on the full turn key to spread
+            # statement-heavy input splits across the cluster.
+            src = src.repartition(salt_partitions, "conv_id", "turn_idx")
+        kernel = tokenize_records
+        if probe is not None:
+            def kernel(batches, _inner=tokenize_records, _probe=probe):
+                def counted(it):
+                    for pdf in it:
+                        _probe.add(len(pdf))
+                        yield pdf
+                yield from _inner(counted(batches))
+        return src.mapInPandas(kernel, RECORDS_DDL)
     if mode == "relational":
+        stmt = turns.filter(F.col("kind") != "HTML")
+        if salt_partitions:
+            stmt = stmt.repartition(salt_partitions, "conv_id", "turn_idx")
         from ..operators.relational import relational_records
         return relational_records(stmt)
     raise ValueError(mode)
 
 
-def build_spans(turns: DataFrame, records: DataFrame) -> DataFrame:
-    txn_spans = records.select(
+def build_spans(turns: DataFrame | None, records: DataFrame,
+                records_include_html: bool = False) -> DataFrame:
+    stmt_records = records.filter(F.col("bank") != "HTML") \
+        if records_include_html else records
+    txn_spans = stmt_records.select(
         "conv_id", "turn_idx", "span_start", "span_end",
         F.lit(spec.SPAN_KIND_TXN).alias("span_kind"),
         F.col("span_text").alias("text"))
-    cell_spans = records.select(
+    cell_spans = stmt_records.select(
         "conv_id", "turn_idx", F.explode("cells").alias("c")).select(
         "conv_id", "turn_idx",
         F.col("c.start").alias("span_start"), F.col("c.end").alias("span_end"),
         F.lit(spec.SPAN_KIND_CELL).alias("span_kind"),
         F.col("c.text").alias("text"))
-    main_spans = (
-        turns.filter(F.col("kind") == "HTML")
-        .select("conv_id", "turn_idx",
-                F.explode(html_main_spans(F.col("doc"))).alias("s"))
-        .select("conv_id", "turn_idx",
-                F.col("s.span_start").alias("span_start"),
-                F.col("s.span_end").alias("span_end"),
-                F.lit(spec.SPAN_KIND_MAIN).alias("span_kind"),
-                F.col("s.text").alias("text"))
-    )
+    if records_include_html:
+        # fused mode: main spans are already records — no raw re-scan
+        main_spans = (records.filter(F.col("bank") == "HTML")
+                      .select("conv_id", "turn_idx", "span_start",
+                              "span_end",
+                              F.lit(spec.SPAN_KIND_MAIN).alias("span_kind"),
+                              F.col("span_text").alias("text")))
+    else:
+        main_spans = (
+            turns.filter(F.col("kind") == "HTML")
+            .select("conv_id", "turn_idx",
+                    F.explode(html_main_spans(F.col("doc"))).alias("s"))
+            .select("conv_id", "turn_idx",
+                    F.col("s.span_start").alias("span_start"),
+                    F.col("s.span_end").alias("span_end"),
+                    F.lit(spec.SPAN_KIND_MAIN).alias("span_kind"),
+                    F.col("s.text").alias("text"))
+        )
     allspans = txn_spans.unionByName(cell_spans).unionByName(main_spans)
     w = Window.partitionBy("conv_id", "turn_idx").orderBy("span_start")
     return allspans.select(
@@ -90,7 +124,7 @@ def build_spans(turns: DataFrame, records: DataFrame) -> DataFrame:
 
 
 def build_transactions(records: DataFrame) -> DataFrame:
-    norm = normalize_records(records)
+    norm = normalize_records(records.filter(F.col("bank") != "HTML"))
     w = Window.partitionBy("conv_id", "turn_idx").orderBy("line_start")
     return norm.select(
         "conv_id", "turn_idx",
@@ -102,14 +136,17 @@ def build_transactions(records: DataFrame) -> DataFrame:
 
 
 def extract_all(transcripts: DataFrame, mode: str = "fused",
-                salt_partitions: int | None = None) -> ExtractOutputs:
+                salt_partitions: int | None = None,
+                probe=None) -> ExtractOutputs:
     from ..session import ensure_shipped
     ensure_shipped(transcripts.sparkSession)
     turns = with_resolved_payload(transcripts)
-    records = build_records(turns, mode=mode, salt_partitions=salt_partitions)
+    records = build_records(turns, mode=mode, salt_partitions=salt_partitions,
+                            probe=probe)
     return ExtractOutputs(
         turns=turns,
         records=records,
-        spans=build_spans(turns, records),
+        spans=build_spans(turns, records,
+                          records_include_html=(mode == "fused")),
         transactions=build_transactions(records),
     )

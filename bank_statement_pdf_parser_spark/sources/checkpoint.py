@@ -8,13 +8,30 @@ are implemented behind a thin seam on Parquet:
   the Iceberg `bucket(conv_id)` hidden-partition equivalent. All turns
   of a conversation land in one bucket.
 - buckets are processed in groups; each group job writes
-  `spans/bucket=N/` + `transactions/bucket=N/` via dynamic partition
-  overwrite (idempotent on retry), then commits one manifest JSON per
-  bucket (tmp+rename, atomic) carrying lineage + row/byte metrics.
+  `records/bucket=N/`, `spans/bucket=N/` + `transactions/bucket=N/`
+  via dynamic partition overwrite (idempotent on retry), then commits
+  one manifest JSON per bucket (tmp+rename, atomic) carrying lineage +
+  row/byte metrics.
 - resume = drop buckets that already have a manifest. The worklist is
   computed with a LEFT ANTI join against the committed-bucket set
   (J3); a crashed group leaves no manifest, so its buckets are
   reprocessed and their output dirs overwritten — exactly-once output.
+
+Cost shape per bucket group (the 100 TB hot path):
+
+1. ONE pass over raw text: the fused tokenizer writes the staged
+   `records` dataset (txn records + HTML main-span pseudo-records,
+   ~1000x smaller than the corpus). Per-bucket INPUT metrics
+   (rows/bytes/conv-id range) ride this same job via `df.observe`
+   conditional aggregates — no separate metrics scan.
+2. spans + transactions are derived from the staged records parquet
+   (two cheap jobs that never touch raw text).
+3. Per-bucket OUTPUT counts come from counting the freshly written
+   spans/transactions files (partition-pruned, footer-level reads) —
+   not from re-running the extraction DAG.
+
+Tests assert (via a tokenizer-call accumulator) that the extraction
+kernel sees each turn exactly once per run.
 
 On Iceberg the seam maps to `df.writeTo(tbl).overwritePartitions()`
 plus a lineage-table append per snapshot; only this module changes.
@@ -27,10 +44,12 @@ import os
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.extract import extract_all
+from ..plans.extract import build_records, build_spans, build_transactions
+from ..session import ensure_shipped
+from .transcripts import with_resolved_payload
 
 BUCKET = "bucket"
 
@@ -76,11 +95,18 @@ class CheckpointedExtract:
 
     # -- the job ------------------------------------------------------------
     def run(self, transcripts: DataFrame,
-            fail_after_groups: int | None = None) -> RunResult:
+            fail_after_groups: int | None = None,
+            probe=None) -> RunResult:
         """Process all un-committed buckets. `fail_after_groups` simulates a
-        crash for resume tests."""
+        crash for resume tests; `probe` is an optional accumulator the
+        tokenizer kernel bumps once per input turn row."""
         spark = transcripts.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        ensure_shipped(spark)
+
+        records_dir = os.path.join(self.output_dir, "records")
+        spans_dir = os.path.join(self.output_dir, "spans")
+        txns_dir = os.path.join(self.output_dir, "transactions")
 
         done = self.committed_buckets()
         todo = [b for b in range(self.n_buckets) if b not in done]
@@ -100,36 +126,62 @@ class CheckpointedExtract:
                 raise RuntimeError("simulated crash for resume test")
             gsrc = src.filter(F.col(BUCKET).isin(group))
 
-            # S6: per-bucket input metrics in one agg
-            in_rows = {r[BUCKET]: r for r in gsrc.groupBy(BUCKET).agg(
-                F.count("*").alias("rows_in"),
-                F.sum(F.length("text")).alias("bytes_in"),
-                F.min("conv_id").alias("conv_id_min"),
-                F.max("conv_id").alias("conv_id_max")).collect()}
+            # S6: per-bucket input metrics observed ON the extraction job
+            # (conditional aggregates per bucket — no extra input scan)
+            obs = Observation()
+            aggs = []
+            for b in group:
+                c = F.col(BUCKET) == b
+                aggs += [
+                    F.count(F.when(c, True)).alias(f"rows_in_{b}"),
+                    F.sum(F.when(c, F.length("text"))).alias(f"bytes_in_{b}"),
+                    F.min(F.when(c, F.col("conv_id"))).alias(f"cmin_{b}"),
+                    F.max(F.when(c, F.col("conv_id"))).alias(f"cmax_{b}"),
+                ]
+            gobs = gsrc.observe(obs, *aggs)
 
-            out = extract_all(gsrc.drop(BUCKET), mode=self.mode)
-            spans = with_bucket(out.spans, self.n_buckets)
-            txns = with_bucket(out.transactions, self.n_buckets)
-            spans.write.mode("overwrite").partitionBy(BUCKET).parquet(
-                os.path.join(self.output_dir, "spans"))
-            txns.write.mode("overwrite").partitionBy(BUCKET).parquet(
-                os.path.join(self.output_dir, "transactions"))
+            # 1) the ONLY raw-text pass: stage extracted records
+            turns = with_resolved_payload(gobs.drop(BUCKET))
+            records = build_records(turns, mode=self.mode, probe=probe)
+            with_bucket(records, self.n_buckets).write.mode("overwrite") \
+                .partitionBy(BUCKET).parquet(records_dir)
+            m_in = obs.get
 
+            # 2) spans + transactions from the staged records (no raw text)
+            staged = (spark.read.parquet(records_dir)
+                      .filter(F.col(BUCKET).isin(group)).drop(BUCKET))
+            if self.mode == "fused":
+                spans = build_spans(None, staged, records_include_html=True)
+            else:
+                # relational records exclude HTML; the D5 pandas-UDF
+                # branch re-reads the HTML turns (cross-check mode only)
+                turns2 = with_resolved_payload(gsrc.drop(BUCKET))
+                spans = build_spans(turns2, staged)
+            txns = build_transactions(staged)
+            with_bucket(spans, self.n_buckets).write.mode("overwrite") \
+                .partitionBy(BUCKET).parquet(spans_dir)
+            with_bucket(txns, self.n_buckets).write.mode("overwrite") \
+                .partitionBy(BUCKET).parquet(txns_dir)
+
+            # 3) output counts from the committed files (partition-pruned)
+            sp = (spark.read.parquet(spans_dir)
+                  .filter(F.col(BUCKET).isin(group))
+                  .groupBy(BUCKET).agg(F.count("*").alias("n_spans")))
+            tx = (spark.read.parquet(txns_dir)
+                  .filter(F.col(BUCKET).isin(group))
+                  .groupBy(BUCKET).agg(F.count("*").alias("n_txns")))
             out_counts = {
-                r[BUCKET]: (r["n_spans"], r["n_txns"]) for r in
-                spans.groupBy(BUCKET).agg(F.count("*").alias("n_spans"))
-                .join(txns.groupBy(BUCKET).agg(F.count("*").alias("n_txns")),
-                      BUCKET, "outer").fillna(0).collect()}
+                r[BUCKET]: (r["n_spans"], r["n_txns"])
+                for r in sp.join(tx, BUCKET, "outer").fillna(0).collect()}
 
             for b in group:
-                r = in_rows.get(b)
                 n_spans, n_txns = out_counts.get(b, (0, 0))
                 m = {
                     "run_id": self.run_id, "partition_id": b,
-                    "conv_id_min": r["conv_id_min"] if r else None,
-                    "conv_id_max": r["conv_id_max"] if r else None,
-                    "rows_in": int(r["rows_in"]) if r else 0,
-                    "bytes_in": int(r["bytes_in"] or 0) if r else 0,
+                    "conv_id_min": m_in[f"cmin_{b}"],
+                    "conv_id_max": m_in[f"cmax_{b}"],
+                    "rows_in": int(m_in[f"rows_in_{b}"] or 0),
+                    "bytes_in": int(m_in[f"bytes_in_{b}"] or 0),
                     "rows_out": int(n_spans + n_txns),
                     "n_spans": int(n_spans), "n_txns": int(n_txns),
                     "status": "committed", "ts": time.time(),

@@ -27,7 +27,7 @@ def process_micro_batch(batch_df: DataFrame, batch_id: int,
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     turns = with_resolved_payload(batch_df)
     records = build_records(turns, mode="fused")
-    (build_spans(turns, records)
+    (build_spans(turns, records, records_include_html=True)
      .withColumn("batch_id", F.lit(int(batch_id)))
      .write.mode("overwrite").partitionBy("batch_id")
      .parquet(f"{output_dir}/spans"))

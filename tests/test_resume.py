@@ -40,6 +40,22 @@ def test_resume_idempotent(spark, transcripts_path, tmp_path):
     assert all(m["status"] == "committed" for m in lineage)
 
 
+def test_extraction_runs_once_per_turn(spark, transcripts_path, tmp_path):
+    """The sink must not recompute the extraction DAG for its sibling
+    output or its metrics: the tokenizer kernel sees every classified
+    turn EXACTLY once across the whole run (spans, transactions, input
+    metrics and output counts all derive from that single pass)."""
+    from bank_statement_pdf_parser_spark.sources.transcripts import (
+        with_resolved_payload)
+    df = spark.read.parquet(transcripts_path)
+    n_classified = with_resolved_payload(df).count()
+    probe = spark.sparkContext.accumulator(0)
+    ck = CheckpointedExtract(str(tmp_path / "once"), "r1", n_buckets=4,
+                             buckets_per_job=2)
+    ck.run(df, probe=probe)
+    assert probe.value == n_classified
+
+
 def test_second_run_is_noop(spark, transcripts_path, tmp_path):
     df = spark.read.parquet(transcripts_path)
     ck = CheckpointedExtract(str(tmp_path / "o"), "r1", n_buckets=4,
