@@ -138,6 +138,190 @@ FROM li
 
 
 # ---------------------------------------------------------------------------
+# dialect flagships: DBS (multi-page/continuations/page-carry/freq-
+# boilerplate/markers), OCBC (lattice + year inference, incl. cell-span
+# offsets), HDFC (yy pivot both sides + ref column)
+# ---------------------------------------------------------------------------
+
+def _cast_money(df: DataFrame) -> DataFrame:
+    return df.select(
+        *[F.col(c).cast("double").alias(c)
+          if c in ("debit", "credit", "balance") else F.col(c)
+          for c in df.columns])
+
+
+def _dialect_txns(maker_name: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prep(spark)
+        from bank_statement_pdf_parser_spark.plans.extract import extract_all
+        from bank_statement_pdf_parser_spark.sources import tpch_bridge
+        maker = getattr(tpch_bridge, maker_name)
+        return _cast_money(extract_all(maker(spark, sf_dir)).transactions)
+    return q
+
+
+def _q_flagship_ocbc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.plans.extract import extract_all
+    from bank_statement_pdf_parser_spark.sources.tpch_bridge import (
+        ocbc_transcripts)
+    return extract_all(ocbc_transcripts(spark, sf_dir)).spans
+
+
+def _ranked_sql(k: int) -> str:
+    return f"""
+WITH li0 AS (
+  SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey,
+         l.l_quantity, l.l_returnflag, l.l_linestatus, l.l_shipdate,
+         o.o_custkey,
+         row_number() OVER (PARTITION BY l.l_orderkey
+                            ORDER BY l.l_linenumber, l.l_partkey,
+                                     l.l_suppkey, l.l_quantity,
+                                     l.l_shipdate) AS rn,
+         count(*) OVER (PARTITION BY l.l_orderkey) AS n_li
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), li AS (SELECT * FROM li0 WHERE n_li >= {k} AND rn <= {k})
+"""
+
+
+_AMT_SQL = ("CAST(CAST((CAST(l_quantity AS BIGINT)*100 + l_linenumber)"
+            "/100.0 AS DECIMAL(18,2)) AS DOUBLE)")
+_BAL_SQL = ("CAST(CAST(((l_orderkey % 1000000) + 1)/100.0 "
+            "AS DECIMAL(18,2)) AS DOUBLE)")
+_OKEY_SQL = "CAST(l_orderkey AS VARCHAR)"
+_BASE_DESC_SQL = (
+    "rtrim(substr('O' || CAST(l_orderkey AS VARCHAR) || ' L' "
+    "|| CAST(l_linenumber AS VARCHAR) || ' P' "
+    "|| CAST(l_partkey AS VARCHAR) || ' S' "
+    "|| CAST(l_suppkey AS VARCHAR), 1, 38))")
+
+_FLAGSHIP_DBS_SQL = _ranked_sql(4) + f"""
+SELECT 'dbs-' || {_OKEY_SQL} AS conv_id,
+       CAST(0 AS INTEGER) AS turn_idx,
+       CAST(rn - 1 AS INTEGER) AS txn_idx,
+       'DBS' AS bank,
+       CAST(l_shipdate AS DATE) AS txn_date,
+       CAST(CAST(l_shipdate AS DATE) + (l_linenumber % 7) AS DATE)
+           AS value_date,
+       CASE WHEN rn = 2
+            THEN 'O' || {_OKEY_SQL} || ' CONT O' || {_OKEY_SQL} || ' N2'
+            ELSE {_BASE_DESC_SQL} || ' CONT O' || {_OKEY_SQL}
+                 || ' N' || CAST(rn AS VARCHAR)
+       END AS description,
+       CASE WHEN rn = 2 THEN 'K' || {_OKEY_SQL} END AS ref,
+       CASE WHEN (l_returnflag = 'R') <> (l_linestatus = 'O')
+            THEN {_AMT_SQL} END AS debit,
+       CASE WHEN (l_returnflag = 'R') = (l_linestatus = 'O')
+            THEN {_AMT_SQL} END AS credit,
+       {_BAL_SQL} AS balance,
+       CAST(CASE WHEN rn <= 2 THEN 1 WHEN rn = 3 THEN 2 ELSE 3 END
+            AS INTEGER) AS page,
+       CAST(CASE rn WHEN 1 THEN 4 WHEN 2 THEN 6 WHEN 3 THEN 17 ELSE 26 END
+            AS INTEGER) AS line_start,
+       CAST(CASE rn WHEN 1 THEN 5 WHEN 2 THEN 7 WHEN 3 THEN 18 ELSE 27 END
+            AS INTEGER) AS line_end
+FROM li
+"""
+
+_FLAGSHIP_OCBC_TXNS_SQL = _ranked_sql(3) + f"""
+SELECT 'ocbc-' || {_OKEY_SQL} AS conv_id,
+       CAST(0 AS INTEGER) AS turn_idx,
+       CAST(rn - 1 AS INTEGER) AS txn_idx,
+       'OCBC' AS bank,
+       CASE WHEN rn % 2 = 1
+            THEN make_date(2025, 12, CAST(EXTRACT(DAY FROM l_shipdate)
+                                          AS INTEGER))
+            ELSE make_date(2026, 1, CAST(EXTRACT(DAY FROM l_shipdate)
+                                         AS INTEGER)) END AS txn_date,
+       CAST(NULL AS DATE) AS value_date,
+       {_BASE_DESC_SQL} AS description,
+       CAST(NULL AS VARCHAR) AS ref,
+       CASE WHEN l_returnflag = 'R' THEN {_AMT_SQL} END AS debit,
+       CASE WHEN l_returnflag <> 'R' THEN {_AMT_SQL} END AS credit,
+       {_BAL_SQL} AS balance,
+       CAST(1 AS INTEGER) AS page,
+       CAST(3 + rn AS INTEGER) AS line_start,
+       CAST(3 + rn AS INTEGER) AS line_end
+FROM li
+"""
+
+# fixed OCBC geometry: header lines 9/20/32/0 chars -> first lattice line
+# starts at offset 65; every lattice line is 88 chars (+1 separator)
+_OCBC_SPAN_CTE = _ranked_sql(3) + """
+, c AS (SELECT l_orderkey, rn, l_returnflag,
+        65 + (rn - 1) * 89 AS off,
+        lpad(CAST(EXTRACT(DAY FROM l_shipdate) AS VARCHAR), 2, '0') || ' ' ||
+          CASE WHEN rn % 2 = 1 THEN 'Dec' ELSE 'Jan' END AS date6,
+        substr('O' || CAST(l_orderkey AS VARCHAR) || ' L'
+               || CAST(l_linenumber AS VARCHAR) || ' P'
+               || CAST(l_partkey AS VARCHAR) || ' S'
+               || CAST(l_suppkey AS VARCHAR), 1, 38) AS d38,
+        format('{:,}', CAST(l_quantity AS BIGINT)) || '.'
+          || lpad(CAST(l_linenumber AS VARCHAR), 2, '0') AS amt,
+        format('{:,}', ((l_orderkey % 1000000) + 1) // 100) || '.'
+          || lpad(CAST(((l_orderkey % 1000000) + 1) % 100 AS VARCHAR),
+                  2, '0') AS bal
+        FROM li)
+"""
+
+_FLAGSHIP_OCBC_SPANS_SQL = _OCBC_SPAN_CTE + """
+SELECT 'ocbc-' || CAST(l_orderkey AS VARCHAR) AS conv_id,
+       CAST(0 AS INTEGER) AS turn_idx,
+       CAST((rn - 1) * 5 + k AS INTEGER) AS span_idx,
+       CAST(s AS INTEGER) AS span_start,
+       CAST(e AS INTEGER) AS span_end,
+       kind AS span_kind, text
+FROM (
+  SELECT *, 0 AS k, off AS s, off + 88 AS e, 'txn' AS kind,
+         '|' || date6 || '|' || rpad(d38, 40, ' ') || '|' ||
+         CASE WHEN l_returnflag = 'R' THEN lpad(amt, 12, ' ')
+              ELSE repeat(' ', 12) END || '|' ||
+         CASE WHEN l_returnflag <> 'R' THEN lpad(amt, 12, ' ')
+              ELSE repeat(' ', 12) END || '|' ||
+         lpad(bal, 12, ' ') || '|' AS text
+  FROM c
+  UNION ALL
+  SELECT *, 1 AS k, off + 1 AS s, off + 7 AS e, 'table_cell' AS kind,
+         date6 AS text FROM c
+  UNION ALL
+  SELECT *, 2 AS k, off + 8 AS s, off + 8 + length(rtrim(d38)) AS e,
+         'table_cell' AS kind, rtrim(d38) AS text FROM c
+  UNION ALL
+  SELECT *, 3 AS k,
+         CASE WHEN l_returnflag = 'R' THEN off + 49 + (12 - length(amt))
+              ELSE off + 62 + (12 - length(amt)) END AS s,
+         CASE WHEN l_returnflag = 'R' THEN off + 61 ELSE off + 74 END AS e,
+         'table_cell' AS kind, amt AS text FROM c
+  UNION ALL
+  SELECT *, 4 AS k, off + 75 + (12 - length(bal)) AS s, off + 87 AS e,
+         'table_cell' AS kind, bal AS text FROM c
+)
+"""
+
+_FLAGSHIP_HDFC_SQL = _ranked_sql(3) + f"""
+SELECT 'hdfc-' || {_OKEY_SQL} AS conv_id,
+       CAST(0 AS INTEGER) AS turn_idx,
+       CAST(rn - 1 AS INTEGER) AS txn_idx,
+       'HDFC' AS bank,
+       CAST(l_shipdate AS DATE) AS txn_date,
+       make_date(CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) + 30,
+                 CAST(EXTRACT(MONTH FROM l_shipdate) AS INTEGER),
+                 LEAST(CAST(EXTRACT(DAY FROM l_shipdate) AS INTEGER), 28))
+           AS value_date,
+       CASE WHEN rn = 2 THEN 'REF K' || {_OKEY_SQL} || ' O' || {_OKEY_SQL}
+            ELSE {_BASE_DESC_SQL} END AS description,
+       'CHQ' || lpad(CAST(l_orderkey % 100000000 AS VARCHAR), 8, '0') AS ref,
+       CASE WHEN l_returnflag = 'R' THEN {_AMT_SQL} END AS debit,
+       CASE WHEN l_returnflag <> 'R' THEN {_AMT_SQL} END AS credit,
+       {_BAL_SQL} AS balance,
+       CAST(1 AS INTEGER) AS page,
+       CAST(3 + rn AS INTEGER) AS line_start,
+       CAST(3 + rn AS INTEGER) AS line_end
+FROM li
+"""
+
+
+# ---------------------------------------------------------------------------
 # operator battery (SURVEY.md §2) + training-data ops
 # ---------------------------------------------------------------------------
 
@@ -541,6 +725,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_extract_transactions": _flagship_transactions,
         "flagship_extract_spans": _flagship_spans,
+        "flagship_dbs_txns": _dialect_txns("dbs_transcripts"),
+        "flagship_ocbc_txns": _dialect_txns("ocbc_transcripts"),
+        "flagship_ocbc_spans": _q_flagship_ocbc_spans,
+        "flagship_hdfc_txns": _dialect_txns("hdfc_transcripts"),
         "p2_filter_project": _q_p2_filter_project,
         "p3_classify": _q_p3_classify,
         "d1_token_count": _q_d1_token_count,
@@ -585,6 +773,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "flagship_extract_transactions": _FLAGSHIP_TXNS_SQL,
         "flagship_extract_spans": _FLAGSHIP_SPANS_SQL,
+        "flagship_dbs_txns": _FLAGSHIP_DBS_SQL,
+        "flagship_ocbc_txns": _FLAGSHIP_OCBC_TXNS_SQL,
+        "flagship_ocbc_spans": _FLAGSHIP_OCBC_SPANS_SQL,
+        "flagship_hdfc_txns": _FLAGSHIP_HDFC_SQL,
         "p2_filter_project": (
             "SELECT event_id, user_id, value FROM events "
             "WHERE event_type = 'purchase' AND value > 50.0"),

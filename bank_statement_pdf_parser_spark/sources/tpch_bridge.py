@@ -1,12 +1,30 @@
-"""Render driver-provided TPC-H-ish tables into synthetic UOB statements.
+"""Render driver-provided TPC-H-ish tables into synthetic statements.
 
 This is the self-validating bridge behind `__spark_entry__.entry()` and
 the flagship DuckDB cross-checks: each order becomes a one-turn
-conversation whose `text` is a spec-exact single-page UOB statement of
-its lineitems. Because every cell is derived from integer arithmetic
+conversation whose `text` is a spec-exact statement of its lineitems.
+Because every cell is derived from integer arithmetic
 (`cents = l_quantity*100 + l_linenumber`), an independent ANSI-SQL
 oracle can predict the extraction output — dates, decimals, span
 offsets, even the raw span text — with zero float-formatting ambiguity.
+
+Renderers:
+- `transcripts_from_tpch` — single-page UOB statements over ALL
+  lineitems of every order (the flagship corpus).
+- `dbs_transcripts` — TWO-page DBS statements over the first 4
+  lineitems of every >=4-line order, with continuation lines under
+  every anchor (D9), a non-regex footer line repeated on both pages
+  (D4 frequency rule), a BALANCE B/F + duplicated anchor at the page
+  boundary (D11 page-carry dedup), CR/DR markers that override the
+  amount column (F3), and a REF-prefixed description (F5).
+- `ocbc_transcripts` — single-page OCBC `|`-lattice statements (D6)
+  whose year-less dates straddle a Dec->Jan period boundary (F1 year
+  inference); cell spans have fixed-geometry offsets so even the spans
+  frame is SQL-predictable.
+- `hdfc_transcripts` — single-page HDFC statements exercising both
+  sides of the two-digit-year pivot (txn dates 19xx, value dates
+  20xx), the dedicated ref column, and HDFC's keep-REF-in-description
+  rule.
 
 Rendering is fully distributed Catalyst (rpad/lpad/format_number/
 collect_list); no driver-side loops.
@@ -14,7 +32,7 @@ collect_list); no driver-side loops.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # fixed geometry of the rendered statement (see oracle SQL in
@@ -37,8 +55,8 @@ def amount_cents(df_cols=None) -> F.Column:
     return (F.col("l_quantity").cast("long") * 100 + F.col("l_linenumber"))
 
 
-def balance_cents() -> F.Column:
-    return (F.col("o_orderkey") % 1_000_000) + 1
+def balance_cents(key: str = "o_orderkey") -> F.Column:
+    return (F.col(key) % 1_000_000) + 1
 
 
 def transcripts_from_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,3 +118,193 @@ def transcripts_from_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.alias("text"),
         F.lit(None).cast("string").alias("tool"),
         F.col("orderdate").alias("ts"))
+
+
+# ---------------------------------------------------------------------------
+# dialect corpora: fixed-K-transaction statements with fixed geometry so
+# page/line/offset predictions stay pure integer arithmetic in the oracle
+# ---------------------------------------------------------------------------
+
+DBS_HOTLINE = "Hotline 1800 111 1111"  # NOT in BOILER_RX: D4-only chrome
+
+
+def _ranked_lineitems(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """First k lineitems (by the flagship's deterministic rank) of every
+    order that has at least k lineitems."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+    wc = Window.partitionBy("l_orderkey")
+    return (lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                    "l_quantity", "l_returnflag", "l_linestatus",
+                    "l_shipdate", "o_custkey", "o_orderdate")
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("n_li", F.count("*").over(wc))
+            .filter((F.col("n_li") >= k) & (F.col("rn") <= k)))
+
+
+def _base_desc() -> F.Column:
+    return F.substring(
+        F.concat(F.lit("O"), F.col("l_orderkey").cast("string"),
+                 F.lit(" L"), F.col("l_linenumber").cast("string"),
+                 F.lit(" P"), F.col("l_partkey").cast("string"),
+                 F.lit(" S"), F.col("l_suppkey").cast("string")),
+        1, 38)
+
+
+def _ref_desc() -> F.Column:
+    okey = F.col("l_orderkey").cast("string")
+    return F.concat(F.lit("REF K"), okey, F.lit(" O"), okey)
+
+
+def _collect_k(rows: DataFrame, cols: list[str]) -> DataFrame:
+    return rows.groupBy("l_orderkey").agg(
+        F.first("o_custkey").alias("custkey"),
+        F.first("o_orderdate").alias("orderdate"),
+        F.array_sort(F.collect_list(F.struct("rn", *cols))).alias("a"))
+
+
+def _as_transcripts(per: DataFrame, prefix: str, text: F.Column) -> DataFrame:
+    return per.select(
+        F.concat(F.lit(prefix), F.col("l_orderkey").cast("string"))
+        .alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        text.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("orderdate").alias("ts"))
+
+
+def dbs_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-page DBS statements: 4 txns, each with a continuation line
+    (D9); a non-regex hotline footer on every page (D4); BALANCE B/F +
+    duplicated anchor at the page-1/2 boundary (D11); CR/DR markers
+    that flip the amount column (F3); rn=2 carries a REF-prefixed
+    description (F5). Three pages, not two: on a 2-page doc the
+    page-carried anchor would sit on EVERY page and the D4 frequency
+    rule would (per spec) strip both copies."""
+    li = _ranked_lineitems(spark, sf_dir, 4)
+    okey = F.col("l_orderkey").cast("string")
+    date_s = F.date_format("l_shipdate", "dd/MM/yyyy")
+    vdate_s = F.date_format(
+        F.date_add(F.col("l_shipdate"), F.col("l_linenumber") % 7),
+        "dd/MM/yyyy")
+    desc = F.when(F.col("rn") == 2, _ref_desc()).otherwise(_base_desc())
+    amt = money_str(amount_cents())
+    is_wdr = F.col("l_returnflag") == "R"
+    mark = F.col("l_linestatus") == "O"
+    blank16 = F.lit(" " * 16)
+    wdr_cell = F.when(
+        is_wdr, F.lpad(F.concat(amt, F.when(mark, F.lit(" CR"))
+                                .otherwise(F.lit(""))), 16, " ")) \
+        .otherwise(blank16)
+    dep_cell = F.when(
+        ~is_wdr, F.lpad(F.concat(amt, F.when(mark, F.lit(" DR"))
+                                 .otherwise(F.lit(""))), 16, " ")) \
+        .otherwise(blank16)
+    anchor = F.concat(F.rpad(date_s, 11, " "), F.rpad(vdate_s, 11, " "),
+                      F.rpad(desc, 40, " "), wdr_cell, dep_cell,
+                      F.lpad(money_str(balance_cents("l_orderkey")), 16, " "))
+    cont = F.concat(F.lit(" " * 22),
+                    F.rpad(F.concat(F.lit("CONT O"), okey, F.lit(" N"),
+                                    F.col("rn").cast("string")), 40, " "),
+                    F.lit(" " * 48))
+    per = _collect_k(li.select("l_orderkey", "o_custkey", "o_orderdate",
+                               "rn", anchor.alias("anchor"),
+                               cont.alias("cont")),
+                     ["anchor", "cont"])
+    e = lambda i: F.element_at(F.col("a"), i)  # noqa: E731
+    hdr = [F.lit("DBS BANK LTD"),
+           F.concat(F.lit("Account No: "),
+                    F.lpad((F.col("custkey") % 1_000_000_000).cast("string"),
+                           9, "0")),
+           F.lit("Statement Date: 28/02/2026"),
+           F.lit("")]
+    foot = [F.lit(DBS_HOTLINE)]
+    page1 = F.concat_ws(
+        "\n", *hdr, e(1)["anchor"], e(1)["cont"], e(2)["anchor"],
+        e(2)["cont"], *foot, F.lit("Page 1/3"),
+        F.lit("Deposit Insurance Scheme applies"))
+    page2 = F.concat_ws(
+        "\n", *hdr, F.lit("BALANCE B/F"), e(2)["anchor"], e(3)["anchor"],
+        e(3)["cont"], *foot, F.lit("Page 2/3"),
+        F.lit("Deposit Insurance Scheme applies"))
+    page3 = F.concat_ws(
+        "\n", *hdr, e(4)["anchor"], e(4)["cont"], *foot, F.lit("Page 3/3"),
+        F.lit("Deposit Insurance Scheme applies"))
+    return _as_transcripts(
+        per, "dbs-",
+        F.concat(page1, F.lit("\f"), page2, F.lit("\f"), page3))
+
+
+def ocbc_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-page OCBC `|`-lattice statements (D6): 3 txns whose
+    year-less dates alternate Dec/Jan across the period boundary of the
+    fixed 'Period 01 Nov 2025 - 28 Feb 2026' header (F1 inference).
+    Geometry is fixed (every lattice line is 88 chars) so cell-span
+    offsets are SQL-predictable."""
+    li = _ranked_lineitems(spark, sf_dir, 3)
+    dd = F.lpad(F.dayofmonth("l_shipdate").cast("string"), 2, "0")
+    mon = F.when(F.col("rn") % 2 == 1, F.lit("Dec")).otherwise(F.lit("Jan"))
+    date6 = F.concat(dd, F.lit(" "), mon)
+    amt = money_str(amount_cents())
+    is_wdr = F.col("l_returnflag") == "R"
+    blank12 = F.lit(" " * 12)
+    line = F.concat(
+        F.lit("|"), date6, F.lit("|"), F.rpad(_base_desc(), 40, " "),
+        F.lit("|"), F.when(is_wdr, F.lpad(amt, 12, " ")).otherwise(blank12),
+        F.lit("|"), F.when(~is_wdr, F.lpad(amt, 12, " ")).otherwise(blank12),
+        F.lit("|"), F.lpad(money_str(balance_cents("l_orderkey")), 12, " "), F.lit("|"))
+    per = _collect_k(li.select("l_orderkey", "o_custkey", "o_orderdate",
+                               "rn", line.alias("line")), ["line"])
+    e = lambda i: F.element_at(F.col("a"), i)  # noqa: E731
+    text = F.concat_ws(
+        "\n",
+        F.lit("OCBC BANK"),
+        F.concat(F.lit("Account "),
+                 F.lpad(F.col("custkey").cast("string"), 12, "0")),
+        F.lit("Period 01 Nov 2025 - 28 Feb 2026"),
+        F.lit(""),
+        e(1)["line"], e(2)["line"], e(3)["line"],
+        F.lit("Page 1 of 1"), F.lit("Co. Reg. No. 193200032W"))
+    return _as_transcripts(per, "ocbc-", text)
+
+
+def hdfc_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-page HDFC statements: 3 txns; txn dates sit on the 19xx
+    side of the two-digit-year pivot (1992-98), value dates on the 20xx
+    side (+30y); the dedicated ref column is populated; rn=2 proves the
+    HDFC keep-REF-in-description rule."""
+    li = _ranked_lineitems(spark, sf_dir, 3)
+    d10 = F.rpad(F.date_format("l_shipdate", "dd/MM/yy"), 10, " ")
+    vd = F.make_date(F.year("l_shipdate") + 30, F.month("l_shipdate"),
+                     F.least(F.dayofmonth("l_shipdate"), F.lit(28)))
+    v10 = F.rpad(F.date_format(vd, "dd/MM/yy"), 10, " ")
+    ref16 = F.rpad(
+        F.concat(F.lit("CHQ"),
+                 F.lpad((F.col("l_orderkey") % 100_000_000).cast("string"),
+                        8, "0")), 16, " ")
+    desc = F.when(F.col("rn") == 2, _ref_desc()).otherwise(_base_desc())
+    amt = money_str(amount_cents())
+    is_wdr = F.col("l_returnflag") == "R"
+    blank16 = F.lit(" " * 16)
+    line = F.concat(
+        d10, F.rpad(desc, 40, " "), ref16, v10,
+        F.when(is_wdr, F.lpad(amt, 16, " ")).otherwise(blank16),
+        F.when(~is_wdr, F.lpad(amt, 16, " ")).otherwise(blank16),
+        F.lpad(money_str(balance_cents("l_orderkey")), 16, " "))
+    per = _collect_k(li.select("l_orderkey", "o_custkey", "o_orderdate",
+                               "rn", line.alias("line")), ["line"])
+    e = lambda i: F.element_at(F.col("a"), i)  # noqa: E731
+    text = F.concat_ws(
+        "\n",
+        F.lit("HDFC BANK LTD"),
+        F.concat(F.lit("A/c No: "),
+                 F.lpad(F.col("custkey").cast("string"), 14, "0")),
+        F.lit("Statement From 01/01/92 To 31/12/98"),
+        F.lit(""),
+        e(1)["line"], e(2)["line"], e(3)["line"],
+        F.lit("Page No .: 1"), F.lit("HDFC BANK is registered with RBI"))
+    return _as_transcripts(per, "hdfc-", text)
