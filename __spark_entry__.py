@@ -620,7 +620,7 @@ def _q_x_ann_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = emb.unionByName(
         emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
-    sig = rhp_buckets(corpus, n_planes=14)
+    sig = rhp_buckets(corpus, n_planes=14, n_tables=2)
     cand = ann_candidate_pairs(sig)
     pairs = verified_cosine_pairs(corpus, cand)
     return (pairs.filter(F.round("cos", 6) >= 0.99)

@@ -35,24 +35,50 @@ def _dot(vec, plane_lits) -> F.Column:
         F.lit(0.0), lambda acc, v: acc + v)
 
 
-def rhp_buckets(df: DataFrame, vec_col: str = "embedding",
-                n_planes: int = 12, dim: int = 64,
-                seed: int = 9) -> DataFrame:
-    """Adds `bucket` (packed sign bits of `n_planes` hyperplane dots)."""
+def _bucket_expr(vec_col: str, n_planes: int, dim: int, seed: int):
     bucket = None
     for p, plane in enumerate(_planes(n_planes, dim, seed)):
         lit = F.array(*[F.lit(x) for x in plane])
         bit = (_dot(F.col(vec_col), lit) >= 0).cast("long") * (1 << p)
         bucket = bit if bucket is None else bucket + bit
-    return df.withColumn("bucket", bucket)
+    return bucket
 
 
-def ann_candidate_pairs(sig: DataFrame, id_col: str = "vec_id") -> DataFrame:
+def rhp_buckets(df: DataFrame, vec_col: str = "embedding",
+                n_planes: int = 12, dim: int = 64,
+                seed: int = 9, n_tables: int = 1) -> DataFrame:
+    """Adds (`table`, `bucket`): packed sign bits of `n_planes`
+    hyperplane dots, for `n_tables` independent plane sets.
+
+    One table ANDs all n_planes bits — recall on *near* (not identical)
+    neighbours decays like (1 - theta/pi)^n_planes. Multiple tables
+    OR-amplify: a pair is a candidate if it collides in ANY table,
+    recall = 1 - (1 - p^k)^L. Cost is linear in n_tables (explode)."""
+    tables = F.array(*[
+        F.struct(F.lit(t).cast("int").alias("table"),
+                 _bucket_expr(vec_col, n_planes, dim, seed + 101 * t)
+                 .alias("bucket"))
+        for t in range(n_tables)])
+    return (df.select("*", F.explode(tables).alias("tb"))
+            .withColumn("table", F.col("tb.table"))
+            .withColumn("bucket", F.col("tb.bucket")).drop("tb"))
+
+
+def ann_candidate_pairs(sig: DataFrame, id_col: str = "vec_id",
+                        max_bucket: int = 500) -> DataFrame:
+    """Bucket equi-join within each (table, bucket) -> distinct pairs
+    (a < b). Buckets above max_bucket are dropped before the self-join
+    (same adversarial-skew guard as neardup.lsh_candidates)."""
+    sig = sig.select(id_col, "table", "bucket")
+    ok = (sig.groupBy("table", "bucket").agg(F.count("*").alias("n"))
+          .filter(F.col("n") <= max_bucket).select("table", "bucket"))
+    sig = sig.join(ok, ["table", "bucket"], "left_semi")
     l, r = sig.alias("l"), sig.alias("r")
-    return (l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
+    return (l.join(r, (F.col("l.table") == F.col("r.table"))
+                   & (F.col("l.bucket") == F.col("r.bucket"))
                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
             .select(F.col(f"l.{id_col}").alias("a"),
-                    F.col(f"r.{id_col}").alias("b")))
+                    F.col(f"r.{id_col}").alias("b")).distinct())
 
 
 def verified_cosine_pairs(df: DataFrame, cand: DataFrame,

@@ -47,10 +47,17 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = 32,
         *[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"))
 
 
-def lsh_candidates(sig: DataFrame, n_bands: int = 8) -> DataFrame:
+def lsh_candidates(sig: DataFrame, n_bands: int = 8,
+                   max_bucket: int = 200) -> DataFrame:
     """Band the signature, bucket-join within bands -> candidate pairs
-    (a < b). Shuffle cost = O(docs * bands), not O(docs^2)."""
-    n_hashes = None  # derived from array at runtime via slice exprs
+    (a < b). Shuffle cost = O(docs * bands), not O(docs^2).
+
+    max_bucket guards the self-join against adversarial skew: a bucket
+    of k members yields k^2/2 pairs, so a degenerate bucket (thousands
+    of boilerplate-identical docs) would go quadratic. Buckets above
+    the cap are dropped BEFORE the join (left_semi against the under-
+    cap bucket list) — identical-document floods are exact duplicates
+    and belong to `exact_dedup`, not pairwise LSH."""
     bands = sig.select(
         "doc_id",
         F.posexplode(F.transform(
@@ -62,6 +69,11 @@ def lsh_candidates(sig: DataFrame, n_bands: int = 8) -> DataFrame:
                             (F.size("sig") / n_bands).cast("int")),
                     lambda x: x.cast("string"))),
                 b))).alias("band", "bucket"))
+    ok = (bands.groupBy("band", "bucket")
+          .agg(F.count("*").alias("n"))
+          .filter(F.col("n") <= max_bucket)
+          .select("band", "bucket"))
+    bands = bands.join(ok, ["band", "bucket"], "left_semi")
     left = bands.alias("l")
     right = bands.alias("r")
     return (left.join(right,

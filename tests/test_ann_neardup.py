@@ -1,0 +1,73 @@
+"""Scale hardening of the candidate-generation operators:
+
+- adversarial skew: a flood of identical documents/vectors (one
+  degenerate bucket) must NOT go quadratic in the LSH self-joins — the
+  bucket cap drops it before the join while small buckets still pair;
+- OR-amplification: multi-table random-hyperplane ANN must recover
+  strictly more near- (not identical-) neighbour pairs than one table,
+  with recall measured against the exact ground truth.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from bank_statement_pdf_parser_spark.operators.ann import (
+    ann_candidate_pairs, rhp_buckets)
+from bank_statement_pdf_parser_spark.operators.neardup import (
+    lsh_candidates, minhash_signatures, shingles)
+
+
+def test_lsh_bucket_cap_bounds_candidates(spark):
+    flood = [(i, "the same boilerplate text repeated everywhere forever")
+             for i in range(2000)]
+    pair = [(9001, "a genuinely unique document about spark lsh banding"),
+            (9002, "a genuinely unique document about spark lsh banding")]
+    df = spark.createDataFrame(flood + pair, "doc_id long, text string")
+    cand = lsh_candidates(minhash_signatures(shingles(df, k=3), n_hashes=16),
+                          n_bands=4, max_bucket=200)
+    got = {(r.a, r.b) for r in cand.collect()}
+    # 2000 identical docs would otherwise emit ~2M pairs per band
+    assert got == {(9001, 9002)}
+
+
+def test_ann_bucket_cap_bounds_candidates(spark):
+    rng = np.random.default_rng(3)
+    same = [float(x) for x in rng.normal(size=16)]
+    uniq = [float(x) for x in rng.normal(size=16)]
+    rows = [(i, same) for i in range(3000)]
+    rows += [(9001, uniq), (9002, uniq)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sig = rhp_buckets(df, n_planes=10, dim=16, n_tables=2)
+    got = {(r.a, r.b) for r in ann_candidate_pairs(sig, max_bucket=500)
+           .collect()}
+    assert got == {(9001, 9002)}
+
+
+def _twin_corpus(n=200, dim=16, noise=0.15, seed=11):
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n, dim))
+    twin = base + noise * rng.normal(size=(n, dim))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    rows += [(i + 1000, [float(x) for x in twin[i]]) for i in range(n)]
+    return rows
+
+
+def _recall(spark, rows, n_tables):
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sig = rhp_buckets(df, n_planes=12, dim=16, n_tables=n_tables)
+    cand = ann_candidate_pairs(sig)
+    hits = (cand.filter(F.col("b") == F.col("a") + 1000).count())
+    return hits / (len(rows) // 2)
+
+
+def test_ann_multi_table_recall(spark):
+    """OR-amplification: recall on ~0.98-cosine twins rises with the
+    number of tables (1 - (1 - p^k)^L); single-table recall is the weak
+    spot VERDICT.md flagged. Deterministic data + seeded planes."""
+    rows = _twin_corpus()
+    r1 = _recall(spark, rows, n_tables=1)
+    r4 = _recall(spark, rows, n_tables=4)
+    assert r4 > r1
+    assert r4 >= 0.75
