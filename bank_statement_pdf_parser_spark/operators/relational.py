@@ -99,6 +99,52 @@ def _ocbc_cells_col(line: Column, off: Column) -> Column:
     return F.filter(cells, lambda c: F.length(c["text"]) > 0)
 
 
+def _slices_lit(bank: str) -> Column:
+    return F.array(*[
+        F.struct(F.lit(s).cast("int").alias("s"),
+                 F.lit(e).cast("int").alias("e"))
+        for s, e in spec.SLICES[bank].values()])
+
+
+def _stream_slices_col(anchors: Column, kind: Column) -> Column:
+    """D7 as a Catalyst expression: per-turn array<struct<s,e>> of
+    column cuts — the fixed SLICES when every anchor line is exactly
+    spec-width, else the whitespace-gap inference (same frozen rule as
+    spec.infer_stream_slices; HOFs over the turn's anchor-line array,
+    no UDF)."""
+    c = None
+    for bank in ("UOB", "DBS", "HDFC"):
+        fixed = _slices_lit(bank)
+        wfix = F.lit(spec.STREAM_LINE_W[bank])
+        nf = len(spec.SLICES[bank])
+        w = F.array_max(F.transform(anchors, lambda a: F.length(a)))
+        xs = F.sequence(F.lit(0), w - 1)
+        rawgap = F.transform(
+            xs, lambda x: F.forall(
+                anchors,
+                lambda a: (x >= F.length(a))
+                | (a.substr(x + 1, F.lit(1)) == " ")))
+        # close single-column gaps (>=2-wide gutters only, as in spec)
+        gaparr = F.transform(
+            xs, lambda x: F.get(rawgap, x)
+            & (F.coalesce(F.get(rawgap, x - 1), F.lit(False))
+               | F.coalesce(F.get(rawgap, x + 1), F.lit(False))))
+        starts = F.filter(
+            xs, lambda x: (~F.get(gaparr, x))
+            & ((x == F.lit(0)) | F.get(gaparr, x - 1)))
+        inferred = F.transform(
+            F.sequence(F.lit(0), F.size(starts) - 1),
+            lambda i: F.struct(
+                F.get(starts, i).cast("int").alias("s"),
+                F.coalesce(F.get(starts, i + 1), w).cast("int").alias("e")))
+        use_fixed = (F.forall(anchors, lambda a: F.length(a) == wfix)
+                     | (F.size(starts) != F.lit(nf)))
+        expr = F.when(use_fixed, fixed).otherwise(inferred)
+        c = F.when(kind == bank, expr) if c is None else \
+            c.when(kind == bank, expr)
+    return c
+
+
 def relational_records(stmt: DataFrame) -> DataFrame:
     """Statement turns -> records frame (same schema/content as
     tokenize.RECORDS_DDL)."""
@@ -147,6 +193,14 @@ def relational_records(stmt: DataFrame) -> DataFrame:
         .otherwise(F.array().cast(
             "array<struct<cell_idx:int,start:int,tlen:int,text:string>>")))
 
+    # D7: per-turn column cuts (fixed or inferred) over the turn's
+    # anchor lines; joined back to the groups below (extra Exchange,
+    # acceptable in this cross-check mode)
+    turn_slices = (content.filter(F.col("is_anchor"))
+                   .groupBy("conv_id", "turn_idx")
+                   .agg(_stream_slices_col(
+                       F.collect_list("line"), F.first("kind")).alias("slc")))
+
     # D9/D10: ordered merge of each transaction group
     grouped = (content.groupBy("conv_id", "turn_idx", "txn_grp").agg(
         F.first("kind").alias("bank"),
@@ -155,19 +209,18 @@ def relational_records(stmt: DataFrame) -> DataFrame:
         F.first("p_end_year").alias("p_end_year"),
         F.array_sort(F.collect_list(F.struct(
             "line_no", "off", "pidx", "line", "cells"))).alias("rows")))
+    grouped = grouped.join(turn_slices, ["conv_id", "turn_idx"], "left")
 
     a = F.get(F.col("rows"), 0)
     last = F.get(F.col("rows"), F.size("rows") - 1)
 
-    def cut(field_slices: dict[str, tuple[int, int]], f: str,
-            line: Column) -> Column:
-        s, e = field_slices[f]
-        return F.substring(line, s + 1, e - s)
+    def cut_at(idx: int, line: Column) -> Column:
+        st = F.get(F.col("slc"), idx)
+        return line.substr(st["s"] + 1, st["e"] - st["s"])
 
     def stream_field(f: str) -> Column:
         c = None
         for bank in ("UOB", "DBS", "HDFC"):
-            sl = spec.SLICES[bank]
             names = {"date": "date", "vdate": "value_date", "ref": "ref",
                      "bal": "balance", "desc": "description"}
             key = {"wdr": {"UOB": "withdrawal", "DBS": "debit",
@@ -175,7 +228,8 @@ def relational_records(stmt: DataFrame) -> DataFrame:
                    "dep": {"UOB": "deposit", "DBS": "credit",
                            "HDFC": "deposit"}}
             fld = key[f][bank] if f in key else names[f]
-            e = (cut(sl, fld, a["line"]) if fld in sl
+            fields = list(spec.SLICES[bank])
+            e = (cut_at(fields.index(fld), a["line"]) if fld in fields
                  else F.lit(None).cast("string"))
             c = F.when(F.col("bank") == bank, e) if c is None else \
                 c.when(F.col("bank") == bank, e)
@@ -186,19 +240,19 @@ def relational_records(stmt: DataFrame) -> DataFrame:
         return F.get(hit, 0)["text"]
 
     conts = F.slice(F.col("rows"), 2, F.greatest(F.size("rows") - 1, F.lit(0)))
+
+    def _cont_slice(bank: str) -> Column:
+        # continuations use the (possibly inferred) description column
+        idx = list(spec.SLICES[bank]).index("description")
+        st = F.get(F.col("slc"), idx)
+        return F.transform(
+            conts, lambda x: x["line"].substr(st["s"] + 1,
+                                              st["e"] - st["s"]))
+
     cont_desc_stream = (
-        F.when(F.col("bank") == "UOB",
-               F.transform(conts, lambda x: F.substring(
-                   x["line"], spec.CONT_SLICE["UOB"][0] + 1,
-                   spec.CONT_SLICE["UOB"][1] - spec.CONT_SLICE["UOB"][0])))
-        .when(F.col("bank") == "DBS",
-              F.transform(conts, lambda x: F.substring(
-                  x["line"], spec.CONT_SLICE["DBS"][0] + 1,
-                  spec.CONT_SLICE["DBS"][1] - spec.CONT_SLICE["DBS"][0])))
-        .when(F.col("bank") == "HDFC",
-              F.transform(conts, lambda x: F.substring(
-                  x["line"], spec.CONT_SLICE["HDFC"][0] + 1,
-                  spec.CONT_SLICE["HDFC"][1] - spec.CONT_SLICE["HDFC"][0])))
+        F.when(F.col("bank") == "UOB", _cont_slice("UOB"))
+        .when(F.col("bank") == "DBS", _cont_slice("DBS"))
+        .when(F.col("bank") == "HDFC", _cont_slice("HDFC"))
     )
     cont_desc_ocbc = F.transform(
         F.flatten(F.transform(
@@ -225,7 +279,7 @@ def relational_records(stmt: DataFrame) -> DataFrame:
         F.when(F.col("bank") == "OCBC", ocbc_cell(4))
         .otherwise(stream_field("bal")).alias("bal_cell"),
         F.when(F.col("bank") == "HDFC",
-               cut(spec.SLICES["HDFC"], "ref", a["line"]))
+               cut_at(list(spec.SLICES["HDFC"]).index("ref"), a["line"]))
         .otherwise(F.lit(None).cast("string")).alias("ref_cell"),
         F.when(F.col("bank") == "OCBC",
                F.concat(F.array(F.coalesce(ocbc_cell(1), F.lit(""))),

@@ -107,8 +107,13 @@ def _parse_doc(doc: str, bank: str):
 
     seen: set[str] = set()
     records = []
-    sl = spec.SLICES.get(bank)
-    cs_ce = spec.CONT_SLICE.get(bank)
+    if bank != "OCBC" and groups:
+        # D7: fixed SLICES for spec-width layouts, whitespace-gap
+        # inference otherwise (frozen rule in spec.infer_stream_slices)
+        sl = spec.infer_stream_slices([lines[g[0]] for g in groups], bank)
+        cs_ce = sl["description"]
+    else:
+        sl, cs_ce = None, None
     for g in groups:
         a = g[0]
         a_raw = lines[a]

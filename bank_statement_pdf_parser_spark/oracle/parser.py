@@ -186,6 +186,14 @@ def parse_statement(doc: str, bank: str):
         seen.add(key)
         kept.append(g)
 
+    # D7: column cuts for stream-table banks — fixed SLICES when the
+    # layout is spec-width, whitespace-gap inference otherwise
+    if bank != "OCBC" and groups:
+        sl_doc = spec.infer_stream_slices([g[0][3] for g in groups], bank)
+        cont_slice = sl_doc["description"]
+    else:
+        sl_doc, cont_slice = None, None
+
     spans = []
     txns = []
     for txn_i, g in enumerate(kept):
@@ -217,12 +225,12 @@ def parse_statement(doc: str, bank: str):
             value_date = None
             ref_cell = None
         else:
-            sl = spec.SLICES[bank]
+            sl = sl_doc
             def cut(field: str) -> str:
                 s, e = sl[field]
                 return a_raw[s:e]
             desc_parts = [cut("description")]
-            cs, ce = spec.CONT_SLICE[bank]
+            cs, ce = cont_slice
             for page, line_no, off, raw in g[1:]:
                 desc_parts.append(raw[cs:ce])
             if bank == "DBS":

@@ -144,6 +144,57 @@ CONT_SLICE: dict[str, tuple[int, int]] = {
     "HDFC": SLICES["HDFC"]["description"],
 }
 
+# Frozen total line width of each stream-table layout (end of the last
+# fixed slice). Documents whose anchor lines ALL have exactly this
+# width use the fixed SLICES; anything else triggers D7 inference.
+STREAM_LINE_W: dict[str, int] = {b: max(e for _, e in sl.values())
+                                 for b, sl in SLICES.items()}
+
+
+def infer_stream_slices(anchor_lines: list[str],
+                        bank: str) -> dict[str, tuple[int, int]]:
+    """D7 (frozen): whitespace-gap column inference for stream tables.
+
+    Trigger: if every anchor line of the document is exactly
+    STREAM_LINE_W[bank] wide, the layout is the frozen one -> fixed
+    SLICES (this keeps all spec-width corpora byte-identical).
+    Otherwise, over the document's anchor lines:
+
+      gap[x]  = every anchor line is blank (or ended) at position x
+      gutter  = a run of >=2 consecutive gap positions (a single
+                all-blank column does NOT split — 'dd Mon yyyy' dates
+                and aligned word breaks have internal single spaces)
+      columns = maximal runs between gutters; each column's slice
+                extends through the following gutter up to the next
+                column's start (the last one to the max line width)
+
+    The columns map IN ORDER onto the bank's field list (the SLICES
+    key order). If the inferred column count differs from the expected
+    field count (e.g. an all-debit page leaves the deposit column
+    fully blank, or two columns touch), inference is rejected and the
+    fixed SLICES apply. Continuations use the inferred description
+    column. Oracle, fused tokenizer and the relational plan all
+    implement exactly this rule.
+    """
+    fixed = SLICES[bank]
+    if all(len(a) == STREAM_LINE_W[bank] for a in anchor_lines):
+        return fixed
+    w = max(len(a) for a in anchor_lines)
+    gap = [all(x >= len(a) or a[x] == " " for a in anchor_lines)
+           for x in range(w)]
+    # close single-column gaps: only >=2-wide blank runs separate
+    gut = [gap[x] and ((x > 0 and gap[x - 1])
+                       or (x + 1 < w and gap[x + 1]))
+           for x in range(w)]
+    gap = gut
+    starts = [x for x in range(w)
+              if not gap[x] and (x == 0 or gap[x - 1])]
+    if len(starts) != len(fixed):
+        return fixed
+    ends = starts[1:] + [w]
+    return {name: (s, e)
+            for name, s, e in zip(fixed.keys(), starts, ends)}
+
 # OCBC lattice cells, in order between `|` rails.
 OCBC_CELLS = ["date", "description", "withdrawal", "deposit", "balance"]
 
