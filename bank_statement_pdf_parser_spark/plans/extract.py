@@ -84,26 +84,40 @@ def build_records(turns: DataFrame, mode: str = "fused",
 
 def build_spans(turns: DataFrame | None, records: DataFrame,
                 records_include_html: bool = False) -> DataFrame:
-    stmt_records = records.filter(F.col("bank") != "HTML") \
-        if records_include_html else records
-    txn_spans = stmt_records.select(
-        "conv_id", "turn_idx", "span_start", "span_end",
-        F.lit(spec.SPAN_KIND_TXN).alias("span_kind"),
-        F.col("span_text").alias("text"))
-    cell_spans = stmt_records.select(
-        "conv_id", "turn_idx", F.explode("cells").alias("c")).select(
-        "conv_id", "turn_idx",
-        F.col("c.start").alias("span_start"), F.col("c.end").alias("span_end"),
+    """All span kinds in ONE pass over records: each record explodes
+    into its head span (txn, or main for HTML pseudo-records) plus its
+    lattice cell spans. A union of sibling selects over `records`
+    would duplicate the records SUBTREE (the tokenizer) per branch —
+    one action would tokenize the corpus 2-3x — so the array-concat +
+    single explode shape matters at scale."""
+    head_kind = (F.when(F.col("bank") == "HTML",
+                        F.lit(spec.SPAN_KIND_MAIN))
+                 .otherwise(F.lit(spec.SPAN_KIND_TXN))
+                 if records_include_html else F.lit(spec.SPAN_KIND_TXN))
+    head = F.array(F.struct(
+        F.col("span_start").alias("span_start"),
+        F.col("span_end").alias("span_end"),
+        head_kind.alias("span_kind"),
+        F.col("span_text").alias("text")))
+    cells = F.coalesce(
+        F.col("cells"),
+        F.array().cast("array<struct<start:int,end:int,text:string>>"))
+    cell_spans = F.transform(cells, lambda c: F.struct(
+        c["start"].alias("span_start"), c["end"].alias("span_end"),
         F.lit(spec.SPAN_KIND_CELL).alias("span_kind"),
-        F.col("c.text").alias("text"))
+        c["text"].alias("text")))
+    rec_spans = (records.select(
+        "conv_id", "turn_idx",
+        F.explode(F.concat(head, cell_spans)).alias("s"))
+        .select("conv_id", "turn_idx",
+                F.col("s.span_start").alias("span_start"),
+                F.col("s.span_end").alias("span_end"),
+                F.col("s.span_kind").alias("span_kind"),
+                F.col("s.text").alias("text")))
     if records_include_html:
-        # fused mode: main spans are already records — no raw re-scan
-        main_spans = (records.filter(F.col("bank") == "HTML")
-                      .select("conv_id", "turn_idx", "span_start",
-                              "span_end",
-                              F.lit(spec.SPAN_KIND_MAIN).alias("span_kind"),
-                              F.col("span_text").alias("text")))
+        allspans = rec_spans
     else:
+        # relational cross-check mode: HTML turns via the D5 pandas UDF
         main_spans = (
             turns.filter(F.col("kind") == "HTML")
             .select("conv_id", "turn_idx",
@@ -114,7 +128,7 @@ def build_spans(turns: DataFrame | None, records: DataFrame,
                     F.lit(spec.SPAN_KIND_MAIN).alias("span_kind"),
                     F.col("s.text").alias("text"))
         )
-    allspans = txn_spans.unionByName(cell_spans).unionByName(main_spans)
+        allspans = rec_spans.unionByName(main_spans)
     w = Window.partitionBy("conv_id", "turn_idx").orderBy("span_start")
     return allspans.select(
         "conv_id", "turn_idx",

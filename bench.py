@@ -80,7 +80,13 @@ def main() -> None:
     # the turns source is re-scanned by the HTML branch, which is why the
     # rendered corpus is materialized to parquet first (a real deployment
     # reads a table, not a live render).
-    salt = cpus  # fewer, larger tasks measured faster than 2x-cpus
+    # Tokenizer task granularity: 1 task/core on the default (small)
+    # corpus — finer tasks pay Arrow/Python round-trip overhead there.
+    # On the 10x-larger scaling corpus 3 tasks/core is faster at BOTH
+    # levels (stragglers on skewed multi-page statements stall a whole
+    # core-sized slot; finer tasks also cut busy CPU ~10%), so
+    # BENCH/run_scaling.py sets SPARK_GRAFT_SALT_MULT=3.
+    salt = cpus * int(os.environ.get("SPARK_GRAFT_SALT_MULT", "1"))
 
     tpch_input = os.path.join(REPO, ".cache", "bench",
                               f"tpch_transcripts_{sf}.parquet")
@@ -100,9 +106,15 @@ def main() -> None:
             extract_all(df.limit(cpus * 64),
                         salt_partitions=salt).records.count()
         out = extract_all(df, salt_partitions=salt)
-        # both outputs materialized; records recompute on purpose — for
-        # this workload the columnar cache build costs more than the
-        # second tokenizer pass, and both passes parallelize fully
+        # spans is a SINGLE pass over records since round 2 (array
+        # concat + one explode, no union of sibling subtrees), so the
+        # two counts cost exactly two tokenizer passes. Persisting
+        # records instead was measured SLOWER and less scalable here:
+        # the columnar cache build of nested record structs costs more
+        # CPU than one tokenizer pass (353 vs 279 busy core-s at 16
+        # cores) and its memory pressure broke 4->16 scaling (0.35 eff
+        # vs 0.78-0.80 without). The production sink avoids both by
+        # staging records to parquet (sources/checkpoint.py).
         n = timed(name, lambda: out.transactions.count() + out.spans.count())
         return n, df.count()
 
