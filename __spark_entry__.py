@@ -656,6 +656,36 @@ def _q_x_simhash(spark, sf_dir):
                     .alias("pert_differs")))
 
 
+def _q_x_lattice_rails(spark, sf_dir):
+    """D6 generic lattice: majority-vote rail x-positions across rows,
+    then slice EVERY row at the voted rails. A third of the rendered
+    rows are 'OCR-damaged' (final rail missing); per-line pipe
+    splitting would drop their last cell, rail voting recovers it —
+    the oracle predicts all three cells for every row."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.lattice import (
+        cells_at_rails, vote_rails)
+    from bank_statement_pdf_parser_spark.sources.tpch_bridge import (
+        amount_cents, money_str)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 10000)
+    qty = F.col("l_quantity").cast("long").cast("string")
+    desc = F.concat(F.lit("P"), F.col("l_partkey").cast("string"))
+    base = F.concat(F.lit("|"), F.lpad(qty, 8, " "),
+                    F.lit("|"), F.rpad(desc, 20, " "),
+                    F.lit("|"), F.lpad(money_str(amount_cents()), 12, " "),
+                    F.lit("|"))
+    damaged = F.col("l_linenumber") % 3 == 0
+    line = F.when(damaged, F.substring(base, 1, 43)).otherwise(base)
+    df = li.select("l_orderkey", "l_linenumber", line.alias("line"))
+    out = cells_at_rails(df, vote_rails(df))
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.get(F.col("cells"), 0).alias("qty_cell"),
+        F.get(F.col("cells"), 1).alias("desc_cell"),
+        F.get(F.col("cells"), 2).alias("amt_cell"),
+        damaged.alias("damaged"))
+
+
 def _q_x_exact_dedup_groups(spark, sf_dir):
     _prep(spark)
     from bank_statement_pdf_parser_spark.operators.neardup import exact_dedup
@@ -764,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_neardup_pipeline": _q_x_neardup_pipeline,
         "x_ann_lsh": _q_x_ann_lsh,
         "x_simhash": _q_x_simhash,
+        "x_lattice_rails": _q_x_lattice_rails,
         "x_exact_dedup_groups": _q_x_exact_dedup_groups,
         "x_binary_checksum": _q_x_binary_checksum,
     }
@@ -933,6 +964,14 @@ def oracle_sql() -> dict[str, str]:
         "x_ann_lsh": (
             "SELECT vec_id AS a, vec_id + 100000 AS b, "
             "CAST(1.0 AS DOUBLE) AS cos_r FROM embeddings"),
+        "x_lattice_rails": (
+            "SELECT l_orderkey, l_linenumber, "
+            "CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS qty_cell, "
+            "'P' || CAST(l_partkey AS VARCHAR) AS desc_cell, "
+            "format('{:,}', CAST(l_quantity AS BIGINT)) || '.' || "
+            "lpad(CAST(l_linenumber AS VARCHAR), 2, '0') AS amt_cell, "
+            "l_linenumber % 3 = 0 AS damaged "
+            "FROM lineitem WHERE l_orderkey < 10000"),
         "x_exact_dedup_groups": (
             "SELECT count(*) AS n_groups, max(cnt) AS max_copies, "
             "CAST(SUM(keep_id) AS BIGINT) AS sum_keep FROM ("

@@ -62,6 +62,26 @@ def _recall(spark, rows, n_tables):
     return hits / (len(rows) // 2)
 
 
+def test_lattice_rail_voting_recovers_damaged_rows(spark):
+    """D6 generic lattice: the voted rails slice a row that LOST its
+    final rail (per-line pipe splitting drops that cell — the frozen
+    OCBC path's documented limitation)."""
+    from bank_statement_pdf_parser_spark.operators.lattice import (
+        cells_at_rails, vote_rails)
+    from bank_statement_pdf_parser_spark.operators.tokenize import (
+        _ocbc_cells)
+    good = "|   a    |x                   |        1.01|"
+    bad = good[:-1]  # OCR lost the trailing rail
+    df = spark.createDataFrame(
+        [(0, good), (1, good), (2, bad)], "row_id long, line string")
+    out = {r.row_id: r.cells
+           for r in cells_at_rails(df, vote_rails(df)).collect()}
+    assert out[2] == ["a", "x", "1.01"]  # recovered despite damage
+    assert out[0] == ["a", "x", "1.01"]
+    # the per-line splitter (exact for well-formed lattices) loses it:
+    assert [t for _, _, _, t in _ocbc_cells(bad, 0)] == ["a", "x"]
+
+
 def test_ann_multi_table_recall(spark):
     """OR-amplification: recall on ~0.98-cosine twins rises with the
     number of tables (1 - (1 - p^k)^L); single-table recall is the weak
