@@ -64,6 +64,22 @@ def _flagship_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_all(transcripts_from_tpch(spark, sf_dir)).spans
 
 
+def _flagship_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-Catalyst cross-implementation, driver-checked against
+    the SAME SQL oracle as the fused flagship (the two engine modes are
+    also directly compared in tests/test_modes.py)."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.plans.extract import extract_all
+    from bank_statement_pdf_parser_spark.sources.tpch_bridge import (
+        transcripts_from_tpch)
+    txns = extract_all(transcripts_from_tpch(spark, sf_dir),
+                       mode="relational").transactions
+    return txns.select(
+        *[F.col(c).cast("double").alias(c)
+          if c in ("debit", "credit", "balance") else F.col(c)
+          for c in txns.columns])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _flagship_transactions(spark, "/root/testdata/sf0.001")
@@ -755,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_extract_transactions": _flagship_transactions,
         "flagship_extract_spans": _flagship_spans,
+        "flagship_relational_txns": _flagship_relational,
         "flagship_dbs_txns": _dialect_txns("dbs_transcripts"),
         "flagship_ocbc_txns": _dialect_txns("ocbc_transcripts"),
         "flagship_ocbc_spans": _q_flagship_ocbc_spans,
@@ -804,6 +821,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "flagship_extract_transactions": _FLAGSHIP_TXNS_SQL,
         "flagship_extract_spans": _FLAGSHIP_SPANS_SQL,
+        "flagship_relational_txns": _FLAGSHIP_TXNS_SQL,
         "flagship_dbs_txns": _FLAGSHIP_DBS_SQL,
         "flagship_ocbc_txns": _FLAGSHIP_OCBC_TXNS_SQL,
         "flagship_ocbc_spans": _FLAGSHIP_OCBC_SPANS_SQL,
