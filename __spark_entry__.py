@@ -673,29 +673,36 @@ def _q_x_simhash(spark, sf_dir):
 
 
 def _q_x_lattice_rails(spark, sf_dir):
-    """D6 generic lattice: majority-vote rail x-positions across rows,
-    then slice EVERY row at the voted rails. A third of the rendered
-    rows are 'OCR-damaged' (final rail missing); per-line pipe
-    splitting would drop their last cell, rail voting recovers it —
-    the oracle predicts all three cells for every row."""
+    """D6 generic lattice at corpus scale: every order is its OWN
+    document (group_cols=['l_orderkey']), rails are majority-voted
+    WITHIN each document, and every row is sliced at its document's
+    rails. Damage is keyed on the per-document row_number (never more
+    than floor(n/3) of a document's rows, so the final rail always
+    survives the >=50% vote); per-line pipe splitting would drop the
+    damaged rows' last cell, per-group rail voting recovers it — the
+    oracle predicts all three cells for every row."""
     _prep(spark)
     from bank_statement_pdf_parser_spark.operators.lattice import (
         cells_at_rails, vote_rails)
     from bank_statement_pdf_parser_spark.sources.tpch_bridge import (
         amount_cents, money_str)
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 10000)
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+    li = li.withColumn("rn", F.row_number().over(w))
     qty = F.col("l_quantity").cast("long").cast("string")
     desc = F.concat(F.lit("P"), F.col("l_partkey").cast("string"))
     base = F.concat(F.lit("|"), F.lpad(qty, 8, " "),
                     F.lit("|"), F.rpad(desc, 20, " "),
                     F.lit("|"), F.lpad(money_str(amount_cents()), 12, " "),
                     F.lit("|"))
-    damaged = F.col("l_linenumber") % 3 == 0
+    damaged = F.col("rn") % 3 == 0
     line = F.when(damaged, F.substring(base, 1, 43)).otherwise(base)
-    df = li.select("l_orderkey", "l_linenumber", line.alias("line"))
-    out = cells_at_rails(df, vote_rails(df))
+    df = li.select("l_orderkey", "rn", line.alias("line"))
+    out = cells_at_rails(df, vote_rails(df, group_cols=["l_orderkey"]),
+                         group_cols=["l_orderkey"])
     return out.select(
-        "l_orderkey", "l_linenumber",
+        "l_orderkey", F.col("rn").cast("int").alias("rn"),
         F.get(F.col("cells"), 0).alias("qty_cell"),
         F.get(F.col("cells"), 1).alias("desc_cell"),
         F.get(F.col("cells"), 2).alias("amt_cell"),
@@ -983,13 +990,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id AS a, vec_id + 100000 AS b, "
             "CAST(1.0 AS DOUBLE) AS cos_r FROM embeddings"),
         "x_lattice_rails": (
-            "SELECT l_orderkey, l_linenumber, "
+            "SELECT l_orderkey, CAST(rn AS INTEGER) AS rn, "
             "CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS qty_cell, "
             "'P' || CAST(l_partkey AS VARCHAR) AS desc_cell, "
             "format('{:,}', CAST(l_quantity AS BIGINT)) || '.' || "
             "lpad(CAST(l_linenumber AS VARCHAR), 2, '0') AS amt_cell, "
-            "l_linenumber % 3 = 0 AS damaged "
-            "FROM lineitem WHERE l_orderkey < 10000"),
+            "rn % 3 = 0 AS damaged FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY l_orderkey "
+            "ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, "
+            "l_shipdate) AS rn FROM lineitem WHERE l_orderkey < 10000)"),
         "x_exact_dedup_groups": (
             "SELECT count(*) AS n_groups, max(cnt) AS max_copies, "
             "CAST(SUM(keep_id) AS BIGINT) AS sum_keep FROM ("

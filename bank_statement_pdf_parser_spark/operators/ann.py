@@ -65,14 +65,35 @@ def rhp_buckets(df: DataFrame, vec_col: str = "embedding",
 
 
 def ann_candidate_pairs(sig: DataFrame, id_col: str = "vec_id",
-                        max_bucket: int = 500) -> DataFrame:
+                        max_bucket: int = 500,
+                        observation=None) -> DataFrame:
     """Bucket equi-join within each (table, bucket) -> distinct pairs
     (a < b). Buckets above max_bucket are dropped before the self-join
-    (same adversarial-skew guard as neardup.lsh_candidates)."""
+    (same adversarial-skew guard as neardup.lsh_candidates).
+
+    Unlike neardup there is no exact-dedup fallback for dense embedding
+    clusters, so the cap's recall loss must be OBSERVABLE (repo rule:
+    no silent caps): pass a `pyspark.sql.Observation` and the job that
+    consumes the returned frame records `dropped_rows` (exact — rows
+    whose pairs the guard discarded) and `dropped_buckets` (HLL
+    estimate). The bucket sizes come back via a broadcast join (cost
+    shape identical to the previous semi-join against the ok-bucket
+    list). AQE caveat, measured on 4.1: if the cap drops EVERY bucket,
+    AQE's empty-relation propagation eliminates the CollectMetrics
+    node with the pruned subtree and `observation.get` fails — metrics
+    are reliable exactly when the operator returns any pairs at all."""
     sig = sig.select(id_col, "table", "bucket")
-    ok = (sig.groupBy("table", "bucket").agg(F.count("*").alias("n"))
-          .filter(F.col("n") <= max_bucket).select("table", "bucket"))
-    sig = sig.join(ok, ["table", "bucket"], "left_semi")
+    counts = sig.groupBy("table", "bucket").agg(F.count("*").alias("n"))
+    sig = sig.join(F.broadcast(counts), ["table", "bucket"])
+    if observation is not None:
+        over = F.col("n") > max_bucket
+        sig = sig.observe(
+            observation,
+            F.sum(over.cast("long")).alias("dropped_rows"),
+            F.approx_count_distinct(
+                F.when(over, F.concat_ws(":", "table", "bucket")))
+            .alias("dropped_buckets"))
+    sig = sig.filter(F.col("n") <= max_bucket).drop("n")
     l, r = sig.alias("l"), sig.alias("r")
     return (l.join(r, (F.col("l.table") == F.col("r.table"))
                    & (F.col("l.bucket") == F.col("r.bucket"))

@@ -11,7 +11,7 @@ offsets, even the raw span text — with zero float-formatting ambiguity.
 Renderers:
 - `transcripts_from_tpch` — single-page UOB statements over ALL
   lineitems of every order (the flagship corpus).
-- `dbs_transcripts` — TWO-page DBS statements over the first 4
+- `dbs_transcripts` — THREE-page DBS statements over the first 4
   lineitems of every >=4-line order, with continuation lines under
   every anchor (D9), a non-regex footer line repeated on both pages
   (D4 frequency rule), a BALANCE B/F + duplicated anchor at the page

@@ -82,6 +82,55 @@ def test_lattice_rail_voting_recovers_damaged_rows(spark):
     assert [t for _, _, _, t in _ocbc_cells(bad, 0)] == ["a", "x"]
 
 
+def test_ann_cap_drop_is_observable(spark):
+    """The skew cap has no exact-dedup fallback on the ANN side, so its
+    recall loss must be reported, not silent: the Observation seam
+    records how many buckets/rows the guard discarded."""
+    from pyspark.sql import Observation
+    rng = np.random.default_rng(5)
+    same = [float(x) for x in rng.normal(size=16)]
+    uniq = [float(x) for x in rng.normal(size=16)]
+    rows = [(i, same) for i in range(100)] + [(9001, uniq), (9002, uniq)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sig = rhp_buckets(df, n_planes=10, dim=16, n_tables=2)
+    obs = Observation("ann_drops")
+    cand = ann_candidate_pairs(sig, max_bucket=10, observation=obs)
+    # the flood's pairs are gone, the small bucket still pairs
+    assert {(r.a, r.b) for r in cand.collect()} == {(9001, 9002)}
+    # identical vectors share all sign bits: exactly 1 bucket per table
+    assert obs.get["dropped_rows"] == 200
+    assert obs.get["dropped_buckets"] == 2  # HLL exact at this scale
+
+
+def test_lattice_guard_degenerate_rails(spark):
+    """<2 voted rails (or a pipe-less corpus) must yield cells=[], not
+    the descending-sequence garbage ADVICE.md flagged; empty lines must
+    not break pipe_positions."""
+    from bank_statement_pdf_parser_spark.operators.lattice import (
+        cells_at_rails, vote_rails)
+    df = spark.createDataFrame(
+        [(0, "no rails here"), (1, ""), (2, "|lonely")],
+        "row_id long, line string")
+    rails = vote_rails(df, min_frac=0.9)  # nothing reaches 90%
+    out = cells_at_rails(df, rails).collect()
+    assert all(r.cells == [] for r in out)
+
+
+def test_lattice_per_group_voting(spark):
+    """group_cols: rails are voted per document — a doc with rails at
+    different x positions must not inherit its neighbour's geometry."""
+    from bank_statement_pdf_parser_spark.operators.lattice import (
+        cells_at_rails, vote_rails)
+    rows = [("d1", 0, "|aa|bb|"), ("d1", 1, "|cc|dd|"),
+            ("d2", 0, "|  ee  |  ff  |"), ("d2", 1, "|  gg  |  hh  |")]
+    df = spark.createDataFrame(rows, "doc string, row_id long, line string")
+    out = cells_at_rails(df, vote_rails(df, group_cols=["doc"]),
+                         group_cols=["doc"])
+    got = {(r.doc, r.row_id): r.cells for r in out.collect()}
+    assert got[("d1", 0)] == ["aa", "bb"]
+    assert got[("d2", 1)] == ["gg", "hh"]
+
+
 def test_ann_multi_table_recall(spark):
     """OR-amplification: recall on ~0.98-cosine twins rises with the
     number of tables (1 - (1 - p^k)^L); single-table recall is the weak
