@@ -184,6 +184,16 @@ def _q_flagship_ocbc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_all(ocbc_transcripts(spark, sf_dir)).spans
 
 
+def _q_flagship_html_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 under the oracle gate: the html bridge corpus has fixed
+    geometry, so all three main-span offsets are integer literals."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.plans.extract import extract_all
+    from bank_statement_pdf_parser_spark.sources.tpch_bridge import (
+        html_transcripts)
+    return extract_all(html_transcripts(spark, sf_dir)).spans
+
+
 def _ranked_sql(k: int) -> str:
     return f"""
 WITH li0 AS (
@@ -312,6 +322,52 @@ FROM (
   SELECT *, 4 AS k, off + 75 + (12 - length(bal)) AS s, off + 87 AS e,
          'table_cell' AS kind, bal AS text FROM c
 )
+"""
+
+_FLAGSHIP_HTML_SPANS_SQL = """
+WITH b AS (
+  SELECT o_orderkey,
+         lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS okey10,
+         lpad(CAST(o_custkey AS VARCHAR), 10, '0') AS cust10,
+         lpad(CAST((o_orderkey % 1000000) + 1 AS VARCHAR), 8, '0') AS bal8
+  FROM orders)
+SELECT 'html-' || CAST(o_orderkey AS VARCHAR) AS conv_id,
+       CAST(0 AS INTEGER) AS turn_idx,
+       CAST(k AS INTEGER) AS span_idx,
+       CAST(s AS INTEGER) AS span_start,
+       CAST(e AS INTEGER) AS span_end,
+       'main' AS span_kind, text
+FROM (
+  SELECT o_orderkey, 0 AS k, 62 AS s, 96 AS e,
+         'Stmt O' || okey10 || ' & C' || cust10 AS text FROM b
+  UNION ALL
+  SELECT o_orderkey, 1, 100, 125,
+         'Bal B' || bal8 || ' <SGD>' FROM b
+  UNION ALL
+  SELECT o_orderkey, 2, 130, 150,
+         'End' || chr(160) || 'O' || okey10 FROM b
+)
+"""
+
+# jitter corpus: widths change per (order, turn) but the PARSED values
+# are width-independent once D7 inference lands the cuts correctly —
+# the oracle predicts them straight from the lineitems.
+_FLAGSHIP_JITTER_SQL = _ranked_sql(4) + f"""
+SELECT 'jit-' || {_OKEY_SQL} AS conv_id,
+       CAST((rn - 1) // 2 AS INTEGER) AS turn_idx,
+       CAST((rn - 1) % 2 AS INTEGER) AS txn_idx,
+       'UOB' AS bank,
+       CAST(l_shipdate AS DATE) AS txn_date,
+       CAST(NULL AS DATE) AS value_date,
+       {_BASE_DESC_SQL} AS description,
+       CAST(NULL AS VARCHAR) AS ref,
+       CASE WHEN rn % 2 = 1 THEN {_AMT_SQL} END AS debit,
+       CASE WHEN rn % 2 = 0 THEN {_AMT_SQL} END AS credit,
+       {_BAL_SQL} AS balance,
+       CAST(1 AS INTEGER) AS page,
+       CAST(4 + (rn - 1) % 2 AS INTEGER) AS line_start,
+       CAST(4 + (rn - 1) % 2 AS INTEGER) AS line_end
+FROM li
 """
 
 _FLAGSHIP_HDFC_SQL = _ranked_sql(3) + f"""
@@ -764,6 +820,51 @@ def _q_f7_math_dates(spark, sf_dir):
                     .cast("long").alias("rounded_total")))
 
 
+def _q_v1_balance_check(spark, sf_dir):
+    """V1 as a gated row: extract the planted-error corpus, run the
+    running-balance validator, return ONLY the violations — exactly
+    txn_idx 2 and 3 of every statement (the +1-cent plant corrupts the
+    jump into rn=3 and the jump out of it)."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.functions.validate import (
+        balance_check)
+    from bank_statement_pdf_parser_spark.plans.extract import extract_all
+    from bank_statement_pdf_parser_spark.sources.tpch_bridge import (
+        uob_balance_transcripts)
+    txns = extract_all(uob_balance_transcripts(spark, sf_dir)).transactions
+    bad = balance_check(txns).filter(~F.col("balance_ok"))
+    return bad.select(
+        "conv_id", "txn_idx",
+        F.col("balance").cast("double").alias("balance"),
+        F.col("prev_balance").cast("double").alias("prev_balance"),
+        F.col("delta").cast("double").alias("delta"))
+
+
+_V1_BALANCE_SQL = _ranked_sql(4) + """
+, s AS (
+  SELECT l_orderkey, rn,
+         (CAST(l_quantity AS BIGINT)*100 + l_linenumber)
+         * (CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END) AS signed
+  FROM li
+), r AS (
+  SELECT l_orderkey, rn, signed,
+         (l_orderkey % 1000000) + 100000
+         + SUM(signed) OVER (PARTITION BY l_orderkey ORDER BY rn)
+         + CASE WHEN rn = 3 THEN 1 ELSE 0 END AS bal
+  FROM s
+), w AS (
+  SELECT *, lag(bal) OVER (PARTITION BY l_orderkey ORDER BY rn) AS prev
+  FROM r
+)
+SELECT 'bal-' || CAST(l_orderkey AS VARCHAR) AS conv_id,
+       CAST(rn - 1 AS INTEGER) AS txn_idx,
+       CAST(CAST(bal/100.0 AS DECIMAL(18,2)) AS DOUBLE) AS balance,
+       CAST(CAST(prev/100.0 AS DECIMAL(18,2)) AS DOUBLE) AS prev_balance,
+       CAST(CAST(signed/100.0 AS DECIMAL(18,2)) AS DOUBLE) AS delta
+FROM w WHERE rn IN (3, 4)
+"""
+
+
 def _q_w5_frame_agg(spark, sf_dir):
     _prep(spark)
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -783,6 +884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_ocbc_txns": _dialect_txns("ocbc_transcripts"),
         "flagship_ocbc_spans": _q_flagship_ocbc_spans,
         "flagship_hdfc_txns": _dialect_txns("hdfc_transcripts"),
+        "flagship_html_spans": _q_flagship_html_spans,
+        "flagship_jitter_txns": _dialect_txns("uob_jitter_transcripts"),
         "p2_filter_project": _q_p2_filter_project,
         "p3_classify": _q_p3_classify,
         "d1_token_count": _q_d1_token_count,
@@ -815,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f6_string_utils": _q_f6_string_utils,
         "f7_math_dates": _q_f7_math_dates,
         "w5_frame_agg": _q_w5_frame_agg,
+        "v1_balance_check": _q_v1_balance_check,
         "x_neardup_pipeline": _q_x_neardup_pipeline,
         "x_ann_lsh": _q_x_ann_lsh,
         "x_simhash": _q_x_simhash,
@@ -833,6 +937,8 @@ def oracle_sql() -> dict[str, str]:
         "flagship_ocbc_txns": _FLAGSHIP_OCBC_TXNS_SQL,
         "flagship_ocbc_spans": _FLAGSHIP_OCBC_SPANS_SQL,
         "flagship_hdfc_txns": _FLAGSHIP_HDFC_SQL,
+        "flagship_html_spans": _FLAGSHIP_HTML_SPANS_SQL,
+        "flagship_jitter_txns": _FLAGSHIP_JITTER_SQL,
         "p2_filter_project": (
             "SELECT event_id, user_id, value FROM events "
             "WHERE event_type = 'purchase' AND value > 50.0"),
@@ -980,6 +1086,7 @@ def oracle_sql() -> dict[str, str]:
             "last_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, "
             "event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED "
             "FOLLOWING) AS last_type FROM events"),
+        "v1_balance_check": _V1_BALANCE_SQL,
         "x_simhash": (
             "SELECT doc_id, CAST(0 AS BIGINT) AS ham_reorder, "
             "true AS pert_differs FROM documents WHERE doc_id < 300"),

@@ -106,43 +106,67 @@ def _slices_lit(bank: str) -> Column:
         for s, e in spec.SLICES[bank].values()])
 
 
-def _stream_slices_col(anchors: Column, kind: Column) -> Column:
-    """D7 as a Catalyst expression: per-turn array<struct<s,e>> of
+def _with_stream_slices(grouped: DataFrame, anchors_col: str = "anchors",
+                        kind_col: str = "akind") -> DataFrame:
+    """D7 as Catalyst: adds `slc`, the per-turn array<struct<s,e>> of
     column cuts — the fixed SLICES when every anchor line is exactly
     spec-width, else the whitespace-gap inference (same frozen rule as
     spec.infer_stream_slices; HOFs over the turn's anchor-line array,
-    no UDF)."""
-    c = None
-    for bank in ("UOB", "DBS", "HDFC"):
-        fixed = _slices_lit(bank)
-        wfix = F.lit(spec.STREAM_LINE_W[bank])
-        nf = len(spec.SLICES[bank])
-        w = F.array_max(F.transform(anchors, lambda a: F.length(a)))
-        xs = F.sequence(F.lit(0), w - 1)
-        rawgap = F.transform(
-            xs, lambda x: F.forall(
-                anchors,
-                lambda a: (x >= F.length(a))
-                | (a.substr(x + 1, F.lit(1)) == " ")))
-        # close single-column gaps (>=2-wide gutters only, as in spec)
-        gaparr = F.transform(
-            xs, lambda x: F.get(rawgap, x)
-            & (F.coalesce(F.get(rawgap, x - 1), F.lit(False))
-               | F.coalesce(F.get(rawgap, x + 1), F.lit(False))))
-        starts = F.filter(
-            xs, lambda x: (~F.get(gaparr, x))
-            & ((x == F.lit(0)) | F.get(gaparr, x - 1)))
-        inferred = F.transform(
-            F.sequence(F.lit(0), F.size(starts) - 1),
-            lambda i: F.struct(
-                F.get(starts, i).cast("int").alias("s"),
-                F.coalesce(F.get(starts, i + 1), w).cast("int").alias("e")))
-        use_fixed = (F.forall(anchors, lambda a: F.length(a) == wfix)
-                     | (F.size(starts) != F.lit(nf)))
-        expr = F.when(use_fixed, fixed).otherwise(inferred)
-        c = F.when(kind == bank, expr) if c is None else \
-            c.when(kind == bank, expr)
-    return c
+    no UDF).
+
+    Every intermediate array is staged as its OWN column: higher-order
+    functions are interpreted, and an array-valued expression referenced
+    inside a lambda is RE-EVALUATED per element (no subexpression reuse
+    inside lambdas), so the naive nested form is O(width^3) per turn —
+    measured as minutes over a few dozen jittered docs. Staged columns
+    are evaluated once per row, making this O(width x anchors)."""
+    anchors, kind = F.col(anchors_col), F.col(kind_col)
+
+    def per_bank(fn) -> Column:
+        c = None
+        for bank in ("UOB", "DBS", "HDFC"):
+            c = F.when(kind == bank, fn(bank)) if c is None else \
+                c.when(kind == bank, fn(bank))
+        return c
+
+    wfix = per_bank(lambda b: F.lit(spec.STREAM_LINE_W[b]))
+    nf = per_bank(lambda b: F.lit(len(spec.SLICES[b])))
+    fixed = per_bank(_slices_lit)
+
+    w = F.array_max(F.transform(anchors, lambda a: F.length(a)))
+    out = grouped.withColumn("_w", w)
+    xs = F.sequence(F.lit(0), F.col("_w") - 1)
+    rawgap = F.transform(
+        xs, lambda x: F.forall(
+            anchors,
+            lambda a: (x >= F.length(a))
+            | (a.substr(x + 1, F.lit(1)) == " ")))
+    out = out.withColumn("_rawgap", rawgap)
+    # close single-column gaps (>=2-wide gutters only, as in spec)
+    rg = F.col("_rawgap")
+    gaparr = F.transform(
+        xs, lambda x: F.get(rg, x)
+        & (F.coalesce(F.get(rg, x - 1), F.lit(False))
+           | F.coalesce(F.get(rg, x + 1), F.lit(False))))
+    out = out.withColumn("_gaparr", gaparr)
+    ga = F.col("_gaparr")
+    starts = F.filter(
+        xs, lambda x: (~F.get(ga, x))
+        & ((x == F.lit(0)) | F.get(ga, x - 1)))
+    out = out.withColumn("_starts", starts)
+    st = F.col("_starts")
+    inferred = F.transform(
+        F.sequence(F.lit(0), F.size(st) - 1),
+        lambda i: F.struct(
+            F.get(st, i).cast("int").alias("s"),
+            F.coalesce(F.get(st, i + 1), F.col("_w")).cast("int")
+            .alias("e")))
+    use_fixed = (F.forall(anchors, lambda a: F.length(a) == wfix)
+                 | (F.size(st) != nf))
+    slc = F.when(kind.isin("UOB", "DBS", "HDFC"),
+                 F.when(use_fixed, fixed).otherwise(inferred))
+    return out.withColumn("slc", slc) \
+        .drop("_w", "_rawgap", "_gaparr", "_starts")
 
 
 def relational_records(stmt: DataFrame) -> DataFrame:
@@ -198,8 +222,10 @@ def relational_records(stmt: DataFrame) -> DataFrame:
     # acceptable in this cross-check mode)
     turn_slices = (content.filter(F.col("is_anchor"))
                    .groupBy("conv_id", "turn_idx")
-                   .agg(_stream_slices_col(
-                       F.collect_list("line"), F.first("kind")).alias("slc")))
+                   .agg(F.collect_list("line").alias("anchors"),
+                        F.first("kind").alias("akind")))
+    turn_slices = _with_stream_slices(turn_slices) \
+        .select("conv_id", "turn_idx", "slc")
 
     # D9/D10: ordered merge of each transaction group
     grouped = (content.groupBy("conv_id", "turn_idx", "txn_grp").agg(

@@ -25,6 +25,16 @@ Renderers:
   sides of the two-digit-year pivot (txn dates 19xx, value dates
   20xx), the dedicated ref column, and HDFC's keep-REF-in-description
   rule.
+- `html_transcripts` — HTML payload turns (D5): nav/footer chrome
+  around one `<div class="content">` with three text nodes covering
+  all four frozen entities; every key is lpad'd to fixed width so the
+  main-span offsets are literal integers in the oracle SQL.
+- `uob_jitter_transcripts` — TWO-turn conversations of UOB statements
+  whose column widths are jittered per (order, turn) so the D7
+  whitespace-gap INFERENCE branch (not the fixed SLICES) produces the
+  cuts, and W1 per-turn index restarts are oracle-checked.
+- `uob_balance_transcripts` — UOB statements with a true running
+  balance and one planted +1-cent error (V1 validator corpus).
 
 Rendering is fully distributed Catalyst (rpad/lpad/format_number/
 collect_list); no driver-side loops.
@@ -249,6 +259,35 @@ def dbs_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(page1, F.lit("\f"), page2, F.lit("\f"), page3))
 
 
+def html_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML payload turns (D5): one doc per order. Geometry is fixed
+    (every variable substring lpad'd to constant width), so the three
+    main-content spans are at literal offsets [62,96) [100,125)
+    [130,150) for every document — the DuckDB oracle needs no string
+    search. Covers all four frozen entities (&amp; &lt; &gt; &nbsp;),
+    lead/trail whitespace stripping inside a tag pair, and chrome
+    (<nav>, <footer>) outside the content div that must NOT span."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    okey10 = F.lpad(F.col("o_orderkey").cast("string"), 10, "0")
+    cust10 = F.lpad(F.col("o_custkey").cast("string"), 10, "0")
+    bal8 = F.lpad(balance_cents().cast("string"), 8, "0")
+    text = F.concat(
+        F.lit('<html><body><nav>UOB &amp; Partners</nav>'
+              '<div class="content">'),
+        F.lit("Stmt O"), okey10, F.lit(" &amp; C"), cust10,
+        F.lit("<p> Bal B"), bal8, F.lit(" &lt;SGD&gt; </p>"),
+        F.lit("End&nbsp;O"), okey10,
+        F.lit('</div><footer>Page 1 of 1</footer></body></html>'))
+    return orders.select(
+        F.concat(F.lit("html-"), F.col("o_orderkey").cast("string"))
+        .alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        text.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("o_orderdate").alias("ts"))
+
+
 def ocbc_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-page OCBC `|`-lattice statements (D6): 3 txns whose
     year-less dates alternate Dec/Jan across the period boundary of the
@@ -280,6 +319,101 @@ def ocbc_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         e(1)["line"], e(2)["line"], e(3)["line"],
         F.lit("Page 1 of 1"), F.lit("Co. Reg. No. 193200032W"))
     return _as_transcripts(per, "ocbc-", text)
+
+
+def uob_jitter_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-turn UOB statements with per-(order, turn) column-width
+    jitter: the date field is 12+j1 wide and the description field
+    40+j2 wide (j1 in 1..3, j2 in 0..3), so no anchor line is the
+    frozen 100-char spec width and the D7 whitespace-gap INFERENCE
+    branch (spec.infer_stream_slices / relational._with_stream_slices)
+    must produce the column cuts. Each turn holds one withdrawal and
+    one deposit anchor so every one of the five UOB columns has
+    content and inference resolves exactly 5 columns. Two turns per
+    conv_id put the W1 per-turn txn_idx/span_idx restarts under the
+    DuckDB gate (every other flagship corpus is single-turn)."""
+    li = _ranked_lineitems(spark, sf_dir, 4)
+    turn = F.floor((F.col("rn") - 1) / 2).cast("int")
+    j1 = (F.col("l_orderkey") + turn) % 3 + 1
+    j2 = (F.col("l_orderkey") % 7 + turn) % 4
+    # variable-width pad (rpad needs a literal length); desc pads up to
+    # 40+3-11 = 32 spaces, so the source literal must exceed that
+    pad = lambda n: F.lit(" " * 40).substr(F.lit(1), n)  # noqa: E731
+    date_s = F.date_format("l_shipdate", "dd MMM yyyy")  # always 11 chars
+    desc = _base_desc()
+    amt = money_str(amount_cents())
+    is_wdr = F.col("rn") % 2 == 1
+    blank16 = F.lit(" " * 16)
+    line = F.concat(
+        date_s, pad(j1 + 1),                      # field width 12 + j1
+        desc, pad(F.lit(40) + j2 - F.length(desc)),  # field width 40 + j2
+        F.when(is_wdr, F.lpad(amt, 16, " ")).otherwise(blank16),
+        F.when(is_wdr, blank16).otherwise(F.lpad(amt, 16, " ")),
+        F.lpad(money_str(balance_cents("l_orderkey")), 16, " "))
+    per = (li.select("l_orderkey", "o_custkey", "o_orderdate", "rn",
+                     turn.alias("t"), line.alias("line"))
+           .groupBy("l_orderkey", "t")
+           .agg(F.first("o_custkey").alias("custkey"),
+                F.first("o_orderdate").alias("orderdate"),
+                F.array_sort(F.collect_list(F.struct("rn", "line")))
+                .alias("a")))
+    e = lambda i: F.element_at(F.col("a"), i)  # noqa: E731
+    text = F.concat_ws(
+        "\n",
+        F.lit(HDR1),
+        F.concat(F.lit("Account: "),
+                 F.lpad(F.col("custkey").cast("string"), 10, "0")),
+        F.lit("Statement Period: 01 Jan 2026 to 31 Dec 2026"),
+        F.lit(""),
+        e(1)["line"], e(2)["line"],
+        F.lit(FOOT1), F.lit(FOOT2))
+    return per.select(
+        F.concat(F.lit("jit-"), F.col("l_orderkey").cast("string"))
+        .alias("conv_id"),
+        F.col("t").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        text.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("orderdate").alias("ts"))
+
+
+def uob_balance_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1 corpus: 4-txn UOB statements whose balance column is a TRUE
+    running balance (init + cumulative signed amounts) except for one
+    planted +1-cent error on the rn=3 row — so the running-balance
+    validator must flag exactly txn_idx 2 (wrong jump in) and 3 (wrong
+    jump out) of every statement, and nothing else."""
+    li = _ranked_lineitems(spark, sf_dir, 4)
+    signed = amount_cents() * F.when(F.col("l_returnflag") == "R",
+                                     F.lit(-1)).otherwise(F.lit(1))
+    wsum = Window.partitionBy("l_orderkey").orderBy(
+        "rn").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    init = (F.col("l_orderkey") % 1_000_000) + 100_000  # >= $1000: no
+    # drawdown (4 txns x <= 5007 cents) can push the balance negative
+    bal = (init + F.sum(signed).over(wsum)
+           + F.when(F.col("rn") == 3, F.lit(1)).otherwise(F.lit(0)))
+    date_s = F.date_format("l_shipdate", "dd MMM yyyy")
+    amt = money_str(amount_cents())
+    is_wdr = F.col("l_returnflag") == "R"
+    blank16 = F.lit(" " * 16)
+    line = F.concat(
+        F.rpad(date_s, 12, " "), F.rpad(_base_desc(), 40, " "),
+        F.when(is_wdr, F.lpad(amt, 16, " ")).otherwise(blank16),
+        F.when(is_wdr, blank16).otherwise(F.lpad(amt, 16, " ")),
+        F.lpad(money_str(bal), 16, " "))
+    per = _collect_k(li.select("l_orderkey", "o_custkey", "o_orderdate",
+                               "rn", line.alias("line")), ["line"])
+    e = lambda i: F.element_at(F.col("a"), i)  # noqa: E731
+    text = F.concat_ws(
+        "\n",
+        F.lit(HDR1),
+        F.concat(F.lit("Account: "),
+                 F.lpad(F.col("custkey").cast("string"), 10, "0")),
+        F.lit("Statement Period: 01 Jan 2026 to 31 Dec 2026"),
+        F.lit(""),
+        e(1)["line"], e(2)["line"], e(3)["line"], e(4)["line"],
+        F.lit(FOOT1), F.lit(FOOT2))
+    return _as_transcripts(per, "bal-", text)
 
 
 def hdfc_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -21,7 +21,8 @@ pytestmark = pytest.mark.skipif(
 
 
 @pytest.mark.parametrize("maker", ["dbs_transcripts", "ocbc_transcripts",
-                                   "hdfc_transcripts"])
+                                   "hdfc_transcripts", "html_transcripts",
+                                   "uob_jitter_transcripts"])
 @pytest.mark.parametrize("mode", ["fused", "relational"])
 def test_dialect_bridge_equals_oracle(spark, maker, mode, tmp_path):
     from bank_statement_pdf_parser_spark.sources import tpch_bridge
@@ -37,9 +38,22 @@ def test_dialect_bridge_equals_oracle(spark, maker, mode, tmp_path):
     eng_spans = [r.asDict() for r in out.spans.collect()]
     eng_txns = [r.asDict() for r in out.transactions.collect()]
     ora_spans, ora_txns = oracle.parse_transcripts(rows)
-    assert len(ora_txns) > 0
+    if maker == "html_transcripts":
+        assert len(ora_spans) > 0  # D5 corpus: spans only, no txns
+    else:
+        assert len(ora_txns) > 0
     assert _canon_txns(eng_txns) == _canon_txns(ora_txns)
     assert _canon_spans(eng_spans) == _canon_spans(ora_spans)
+    if maker == "uob_jitter_transcripts":
+        # prove the D7 INFERENCE branch ran: no anchor line is the
+        # frozen 100-char spec width, and conversations are multi-turn
+        from bank_statement_pdf_parser_spark import spec
+        anchor = spec.rx(spec.ANCHOR_RX["UOB"])
+        widths = {len(l) for r in rows for l in r["text"].split("\n")
+                  if anchor.match(l)}
+        assert spec.STREAM_LINE_W["UOB"] not in widths
+        assert len(widths) > 1
+        assert {r["turn_idx"] for r in rows} == {0, 1}
     if maker == "dbs_transcripts":
         # D9/D11 shape: every kept txn has exactly one continuation and
         # the page-carried duplicate was dropped (4 txns per statement)
