@@ -699,6 +699,24 @@ def _q_x_ann_lsh(spark, sf_dir):
             .select("a", "b", F.round("cos", 6).alias("cos_r")))
 
 
+def _q_x_ann_multiprobe(spark, sf_dir):
+    """Multi-probe LSH ANN end-to-end (one table, least-confident bit
+    probes). Same shifted-copy corpus trick as x_ann_lsh: identical
+    vectors share the home bucket, so the verified >=0.99 pairs are
+    exactly {(i, i+100000)} regardless of probing."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.ann import (
+        ann_multiprobe_pairs, rhp_probe_buckets, verified_cosine_pairs)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
+    sig = rhp_probe_buckets(corpus, n_planes=14, n_probes=2, dim=64)
+    cand = ann_multiprobe_pairs(sig)
+    pairs = verified_cosine_pairs(corpus, cand)
+    return (pairs.filter(F.round("cos", 6) >= 0.99)
+            .select("a", "b", F.round("cos", 6).alias("cos_r")))
+
+
 def _q_x_simhash(spark, sf_dir):
     """SimHash64 with an exact ANSI-SQL oracle via two invariants:
     (a) order-insensitivity — the simhash of the REVERSED token stream
@@ -921,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v1_balance_check": _q_v1_balance_check,
         "x_neardup_pipeline": _q_x_neardup_pipeline,
         "x_ann_lsh": _q_x_ann_lsh,
+        "x_ann_multiprobe": _q_x_ann_multiprobe,
         "x_simhash": _q_x_simhash,
         "x_lattice_rails": _q_x_lattice_rails,
         "x_exact_dedup_groups": _q_x_exact_dedup_groups,
@@ -1094,6 +1113,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id AS a, doc_id + 100000 AS b, "
             "CAST(1.0 AS DOUBLE) AS jaccard FROM documents"),
         "x_ann_lsh": (
+            "SELECT vec_id AS a, vec_id + 100000 AS b, "
+            "CAST(1.0 AS DOUBLE) AS cos_r FROM embeddings"),
+        "x_ann_multiprobe": (
             "SELECT vec_id AS a, vec_id + 100000 AS b, "
             "CAST(1.0 AS DOUBLE) AS cos_r FROM embeddings"),
         "x_lattice_rails": (

@@ -9,7 +9,11 @@ Two tiers (both pure DataFrame ops, no UDFs):
   vectors, candidates come from a bucket equi-join (shuffle O(n), never
   the O(n^2) cross join), and survivors are verified with the exact
   cosine. Identical vectors share every sign bit, so recall on
-  exact-duplicate vectors is 1.0 by construction.
+  exact-duplicate vectors is 1.0 by construction. Recall on NEAR
+  neighbours amplifies two ways: OR over `n_tables` independent plane
+  sets, or multi-probe (`rhp_probe_buckets` + `ann_multiprobe_pairs`) —
+  one table probed at the least-confident flipped bits, fewer emitted
+  rows for comparable recall.
 
 Hyperplanes are seeded pseudo-random literals (driver-side, tiny), so
 the whole plan is deterministic and JVM-evaluated.
@@ -100,6 +104,71 @@ def ann_candidate_pairs(sig: DataFrame, id_col: str = "vec_id",
                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
             .select(F.col(f"l.{id_col}").alias("a"),
                     F.col(f"r.{id_col}").alias("b")).distinct())
+
+
+def rhp_probe_buckets(df: DataFrame, vec_col: str = "embedding",
+                      n_planes: int = 12, dim: int = 64,
+                      seed: int = 9, n_probes: int = 2) -> DataFrame:
+    """Multi-probe variant of `rhp_buckets`: ONE table, but each vector
+    additionally lands in the `n_probes` neighbouring buckets obtained
+    by flipping its LEAST-CONFIDENT sign bits (smallest |dot| — the
+    bits a true near-neighbour is most likely to disagree on). Rows:
+    (1 + n_probes) per vector with `is_probe`; recall comparable to
+    several OR-amplified tables at a fraction of the emitted rows,
+    because probes target the likely disagreements instead of rehashing
+    everything (classic multi-probe LSH, public technique).
+
+    All Catalyst: the per-plane dots are staged ONCE as an array column
+    (HOF lambdas re-evaluate referenced array expressions per element,
+    so the naive nested form would recompute every dot n_planes times)."""
+    planes = _planes(n_planes, dim, seed)
+    dots = F.array(*[_dot(F.col(vec_col), F.array(*[F.lit(x) for x in p]))
+                     for p in planes])
+    out = df.withColumn("_dots", dots)
+    d = F.col("_dots")
+    bucket = None
+    for p in range(n_planes):
+        bit = (F.get(d, p) >= 0).cast("long") * (1 << p)
+        bucket = bit if bucket is None else bucket + bit
+    out = out.withColumn("_bucket", bucket)
+    ranked = F.array_sort(F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda i: F.struct(F.abs(F.get(d, i)).alias("a"),
+                           i.cast("int").alias("i"))))
+    flips = F.slice(ranked, 1, n_probes)
+    probes = F.transform(
+        flips,
+        lambda s: F.struct(
+            F.col("_bucket").bitwiseXOR(
+                F.pow(F.lit(2.0), s["i"]).cast("long")).alias("bucket"),
+            F.lit(True).alias("is_probe")))
+    home = F.array(F.struct(F.col("_bucket").alias("bucket"),
+                            F.lit(False).alias("is_probe")))
+    return (out.select("*", F.explode(F.concat(home, probes)).alias("bk"))
+            .withColumn("bucket", F.col("bk.bucket"))
+            .withColumn("is_probe", F.col("bk.is_probe"))
+            .drop("bk", "_dots", "_bucket"))
+
+
+def ann_multiprobe_pairs(sig: DataFrame, id_col: str = "vec_id",
+                         max_bucket: int = 500) -> DataFrame:
+    """Candidates from multi-probe signatures: a pair is a candidate
+    when EITHER side's probe ring reaches the other's home bucket, so
+    the join is home-side x all-rows (both directions covered by
+    normalizing a=min, b=max). Same bucket-size cap as the table
+    variant, counted over all emitted rows (a flood floods its probe
+    ring too)."""
+    sig = sig.select(id_col, "bucket", "is_probe")
+    ok = (sig.groupBy("bucket").agg(F.count("*").alias("n"))
+          .filter(F.col("n") <= max_bucket).select("bucket"))
+    sig = sig.join(F.broadcast(ok), ["bucket"], "left_semi")
+    home = sig.filter(~F.col("is_probe")).alias("l")
+    allr = sig.alias("r")
+    lid, rid = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")
+    return (home.join(allr, (F.col("l.bucket") == F.col("r.bucket"))
+                      & (lid != rid))
+            .select(F.least(lid, rid).alias("a"),
+                    F.greatest(lid, rid).alias("b")).distinct())
 
 
 def verified_cosine_pairs(df: DataFrame, cand: DataFrame,
