@@ -838,6 +838,75 @@ def _q_f7_math_dates(spark, sf_dir):
                     .cast("long").alias("rounded_total")))
 
 
+def _q_x_token_bpe(spark, sf_dir):
+    """BPE-ish pre-tokenization count over a text enriched with
+    deterministic digits/punctuation (the corpus is lowercase words, so
+    the raw text would only exercise the letter class)."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.textstats import (
+        bpe_token_count)
+    enriched = F.concat(F.col("doc_id").cast("string"), F.lit("! "),
+                        F.col("text"), F.lit(" v2.0?"))
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", bpe_token_count(enriched).alias("n_bpe")))
+
+
+def _q_x_quality_score(spark, sf_dir):
+    """Quality signals as exact integers (stopword hits, punctuation
+    chars, token count/length) — callers derive the ratios."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.textstats import (
+        quality_signals)
+    enriched = F.concat(F.col("doc_id").cast("string"), F.lit("! "),
+                        F.col("text"), F.lit(" v2.0?"))
+    q = quality_signals(enriched)
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", q["n_tokens"].alias("n_tokens"),
+                    q["stop_hits"].alias("stop_hits"),
+                    q["punct_chars"].alias("punct_chars"),
+                    q["sum_token_len"].alias("sum_token_len")))
+
+
+def _q_x_fingerprint(spark, sf_dir):
+    """Winnowing fingerprints (rolling k-gram hash + window min),
+    exploded to distinct (doc_id, fp) rows — the DuckDB oracle computes
+    the identical polynomial hashes and window minima."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.textstats import (
+        winnow_fingerprints)
+    docs = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+            .select("doc_id", "text"))
+    fps = winnow_fingerprints(docs, k=8, w=4)
+    return (fps.select("doc_id", F.explode("fps").alias("fp")).distinct())
+
+
+_X_FINGERPRINT_SQL = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+g AS (
+  SELECT doc_id, text,
+         CAST(unnest(range(length(text) - 7)) AS INTEGER) AS i
+  FROM d
+),
+h AS (
+  SELECT doc_id, i,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             [CAST(ascii(substr(text, i+1+j, 1)) AS BIGINT)
+              FOR j IN range(8)]),
+           (acc, c) -> (acc*257 + c) % 1000000007) AS hv,
+         length(text) - 7 AS ng
+  FROM g
+),
+wmin AS (
+  SELECT doc_id, i, ng,
+         min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM h
+)
+SELECT DISTINCT doc_id, fp FROM wmin WHERE i <= ng - 4
+"""
+
+
 def _q_v1_balance_check(spark, sf_dir):
     """V1 as a gated row: extract the planted-error corpus, run the
     running-balance validator, return ONLY the violations — exactly
@@ -943,6 +1012,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_simhash": _q_x_simhash,
         "x_lattice_rails": _q_x_lattice_rails,
         "x_exact_dedup_groups": _q_x_exact_dedup_groups,
+        "x_token_bpe": _q_x_token_bpe,
+        "x_quality_score": _q_x_quality_score,
+        "x_fingerprint": _q_x_fingerprint,
         "x_binary_checksum": _q_x_binary_checksum,
     }
 
@@ -1133,6 +1205,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(keep_id) AS BIGINT) AS sum_keep FROM ("
             "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS cnt "
             "FROM documents GROUP BY md5(text))"),
+        "x_token_bpe": (
+            "SELECT doc_id, CAST(len(regexp_extract_all("
+            "CAST(doc_id AS VARCHAR) || '! ' || text || ' v2.0?', "
+            "'[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS INTEGER) "
+            "AS n_bpe FROM documents"),
+        "x_quality_score": (
+            "WITH e AS (SELECT doc_id, CAST(doc_id AS VARCHAR) || '! ' "
+            "|| text || ' v2.0?' AS t FROM documents), "
+            "s AS (SELECT doc_id, t, string_split(t, ' ') AS toks FROM e) "
+            "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+            "CAST(len(list_filter(toks, x -> x IN "
+            "('the','a','of','and','to','in'))) AS BIGINT) AS stop_hits, "
+            "CAST(length(regexp_replace(t, '[a-zA-Z0-9\\s]', '', 'g')) "
+            "AS BIGINT) AS punct_chars, "
+            "CAST(list_aggregate(list_transform(toks, x -> length(x)), "
+            "'sum') AS BIGINT) AS sum_token_len FROM s"),
+        "x_fingerprint": _X_FINGERPRINT_SQL,
         "x_binary_checksum": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, "
             "CAST(list_aggregate(list_transform(string_split(text, ''), "

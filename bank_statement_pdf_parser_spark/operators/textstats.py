@@ -1,0 +1,92 @@
+"""Text-analysis operators for training-data curation (SURVEY.md
+training-data extensions): BPE-ish token counting, quality-signal
+ratios, and winnowing document fingerprints (rolling k-gram hash +
+window minimum, the public Schleimer/Wilkerson/Aiken SIGMOD'03
+technique).
+
+Everything is pure Catalyst — no UDFs — so the operators stay inside
+the JVM and are shuffle-free per document (the fingerprint set of a
+document is computed entirely from that document's row; only the
+exploded (doc_id, fp) output ever shuffles, and only if the caller
+aggregates it).
+
+Per the repo's HOF rule (CLAUDE.md / round-3 lesson): intermediate
+ARRAYS are staged as real columns before being referenced inside
+lambdas — an array-valued expression referenced in a lambda is
+re-evaluated per element, turning O(n) plans into O(n^2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# BPE-ish pre-tokenization: runs of letters / digits / other symbols
+# (GPT-2-style contiguous-class splitting, ASCII classes so the Java
+# and RE2 regex dialects agree byte-for-byte).
+BPE_TOKEN_RX = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+# rolling-hash parameters (frozen; the DuckDB oracles hard-code them)
+FP_BASE = 257
+FP_MOD = 1_000_000_007
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Number of BPE-ish pre-tokens (whole-stage-codegen regexp_count)."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RX))
+
+
+def quality_signals(text: Column) -> dict[str, Column]:
+    """Integer quality signals (integers, not ratios, so cross-engine
+    comparison is exact; callers derive ratios): whitespace token
+    count, stopword hits, punctuation chars, total token length."""
+    toks = F.split(text, " ")
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    return {
+        "n_tokens": F.size(toks).cast("long"),
+        "stop_hits": F.size(
+            F.filter(toks, lambda t: F.array_contains(stop, t)))
+        .cast("long"),
+        "punct_chars": F.length(
+            F.regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("long"),
+        "sum_token_len": F.aggregate(
+            toks, F.lit(0).cast("long"),
+            lambda acc, t: acc + F.length(t)).cast("long"),
+    }
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        k: int = 8, w: int = 4) -> DataFrame:
+    """Adds `fps`: the document's winnowing fingerprint set — the
+    distinct minima of every w-window over the rolling hashes of all
+    k-grams (hash = polynomial fold of char codes, base FP_BASE mod
+    FP_MOD). Guarantee (SIGMOD'03): any match of length >= w+k-1
+    between two documents shares at least one fingerprint, so a
+    fingerprint equi-join finds long overlaps at O(|fps|) per doc —
+    never pairwise comparison.
+
+    Documents shorter than k+w-1 chars get an empty set (no window)."""
+    text = F.col(text_col)
+    n_grams = F.length(text) - (k - 1)
+    out = df.withColumn("_ng", n_grams)
+    hashes = F.when(
+        F.col("_ng") >= 1,
+        F.transform(
+            F.sequence(F.lit(0), F.col("_ng") - 1),
+            lambda i: F.aggregate(
+                F.sequence(i, i + (k - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, j: (acc * FP_BASE
+                                + F.ascii(text.substr(j + 1, F.lit(1))))
+                % FP_MOD))) \
+        .otherwise(F.array().cast("array<long>"))
+    out = out.withColumn("_h", hashes)
+    h = F.col("_h")
+    fps = F.when(
+        F.size(h) >= w,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size(h) - w),
+            lambda s: F.array_min(F.slice(h, s + 1, w))))) \
+        .otherwise(F.array().cast("array<long>"))
+    return out.withColumn("fps", fps).drop("_ng", "_h")

@@ -121,3 +121,44 @@ def test_tokenizer_matches_oracle_structurally(fixture_rows):
             assert (ss, se, stext) == (s["span_start"], s["span_end"], s["text"])
         checked += 1
     assert checked > 50
+
+
+def test_winnow_fingerprint_match_guarantee(spark):
+    """Winnowing guarantee (SIGMOD'03): two documents sharing a
+    substring of length >= k + w - 1 share at least one fingerprint;
+    a doc with no long overlap shares none. Short docs (< k+w-1) get
+    an empty set, not garbage."""
+    from bank_statement_pdf_parser_spark.operators.textstats import (
+        winnow_fingerprints)
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [(0, "prefix one " + shared + " suffix alpha"),
+            (1, "totally different start " + shared),
+            (2, "no overlap here at all just other words entirely"),
+            (3, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: set(r.fps)
+           for r in winnow_fingerprints(df, k=8, w=4).collect()}
+    assert out[0] & out[1]            # long shared substring -> shared fp
+    assert not (out[0] & out[2])      # unrelated docs -> disjoint
+    assert out[3] == set()            # shorter than k+w-1 -> empty
+
+
+def test_quality_signals_and_bpe_counts(spark):
+    from bank_statement_pdf_parser_spark.operators.textstats import (
+        bpe_token_count, quality_signals)
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(1, "the cat sat on a mat, v2.0 of THE test!")],
+        "doc_id long, text string")
+    q = quality_signals(F.col("text"))
+    row = df.select(
+        bpe_token_count(F.col("text")).alias("bpe"),
+        q["n_tokens"].alias("nt"), q["stop_hits"].alias("sh"),
+        q["punct_chars"].alias("pc"), q["sum_token_len"].alias("sl"),
+    ).collect()[0]
+    # bpe tokens: the|cat|sat|on|a|mat|,|v|2|.|0|of|THE|test|!
+    assert row.bpe == 15
+    assert row.nt == 10          # whitespace tokens
+    assert row.sh == 3           # the, a, of (exact lowercase matches)
+    assert row.pc == 3           # ',' '.' '!'
+    assert row.sl == 30          # 39 chars minus 9 separators
