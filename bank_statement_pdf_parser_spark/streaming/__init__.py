@@ -13,13 +13,18 @@ streaming variant a thin wrapper rather than a redesign:
 Only span_idx/txn_idx assignment is stateful (a per-turn window). In
 streaming, a turn arrives whole (one row), so the per-turn indexes are
 computable inside the same micro-batch — no cross-batch state, no
-watermark requirements. If turns could arrive fragmented, the carrier
-would be `applyInPandasWithState` keyed by (conv_id, turn_idx) with a
-processing-time timeout flushing incomplete turns.
+watermark requirements.
 
-Deferred in v1 per SURVEY.md: the 10^12-turn target is a batch
-backfill; this module documents the seam so the streaming binding is a
-config change, not a rewrite.
+When turns DO arrive fragmented, `assembler.assemble_turns` is the
+custom stateful operator: `applyInPandasWithState` keyed by
+(conv_id, turn_idx) buffers fragments in GroupState across
+micro-batches, collapses duplicate deliveries, emits each turn whole
+exactly once, and (optionally) flushes incomplete turns on a
+processing-time timeout so state stays bounded. Event-time metrics
+with late-data discipline live in `metrics_stream.windowed_turn_
+metrics` (watermark + windowed aggregation, append mode).
 """
 
+from .assembler import assemble_turns  # noqa: F401
 from .batch_stream import extract_stream  # noqa: F401
+from .metrics_stream import windowed_turn_metrics  # noqa: F401

@@ -53,3 +53,97 @@ def test_micro_batch_retry_is_idempotent(spark, transcripts_path, tmp_path):
     second = sorted(map(tuple, spark.read.parquet(f"{out}/transactions")
                         .collect()))
     assert second == first
+
+
+def _write_file(spark, rows, ddl, path, mtime):
+    import os
+    df = spark.createDataFrame(rows, ddl)
+    df.coalesce(1).write.parquet(path)
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            os.utime(os.path.join(root, f), (mtime, mtime))
+    os.utime(path, (mtime, mtime))
+
+
+def test_stateful_turn_assembler(spark, tmp_path):
+    """applyInPandasWithState: turn fragments scattered ACROSS
+    micro-batches (and duplicated, at-least-once style) are buffered in
+    GroupState and emitted as exactly one whole turn each; a turn with
+    a missing fragment stays in state and never emits."""
+    from bank_statement_pdf_parser_spark.streaming.assembler import (
+        CHUNKS_DDL, assemble_turns)
+    import datetime as dt
+    ts = dt.datetime(2026, 1, 5, 10, 0, 0)
+
+    def chunk(conv, turn, idx, n, text):
+        return (conv, turn, "user", idx, n, text, None, ts)
+
+    # turn A: 3 chunks over two batches (chunk 1 duplicated);
+    # turn B: 2 chunks in one batch; turn C: incomplete (1 of 2)
+    f1 = [chunk("A", 0, 0, 3, "alpha "), chunk("A", 0, 1, 3, "beta "),
+          chunk("C", 0, 0, 2, "never")]
+    f2 = [chunk("A", 0, 1, 3, "beta "),  # duplicate delivery
+          chunk("A", 0, 2, 3, "gamma"),
+          chunk("B", 1, 1, 2, "world"), chunk("B", 1, 0, 2, "hello ")]
+    src = str(tmp_path / "chunks")
+    _write_file(spark, f1, CHUNKS_DDL, f"{src}/f1", 1_000_000_000)
+    _write_file(spark, f2, CHUNKS_DDL, f"{src}/f2", 1_000_000_001)
+
+    stream = (spark.readStream.schema(CHUNKS_DDL)
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/*"))
+    out = assemble_turns(stream, timeout_ms=None)
+    q = (out.writeStream.format("memory").queryName("assembled")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.conv_id, r.turn_idx): r.text
+           for r in spark.sql("SELECT * FROM assembled").collect()}
+    assert got == {("A", 0): "alpha beta gamma", ("B", 1): "hello world"}
+
+
+def test_windowed_metrics_drop_late_rows(spark, tmp_path):
+    """Watermark + windowed agg: a row arriving behind the watermark is
+    dropped; closed windows emit exactly once with the on-time counts."""
+    from bank_statement_pdf_parser_spark.streaming.metrics_stream import (
+        windowed_turn_metrics)
+    from bank_statement_pdf_parser_spark import spec
+    import datetime as dt
+    d1 = dt.datetime(2026, 1, 5, 10, 10, 0)
+
+    def turn(conv, ts, role="user", text="x" * 10):
+        return (conv, 0, role, text, None, ts)
+
+    f1 = [turn("a", d1), turn("b", d1), turn("c", d1, role="assistant")]
+    f2 = [turn("d", d1 + dt.timedelta(days=1))]   # advances watermark
+    # the watermark computed from a batch takes effect one batch later,
+    # so a second fresh batch is what CLOSES (emits+evicts) the day-1
+    # window before the late row arrives
+    f2b = [turn("g", d1 + dt.timedelta(days=1, seconds=30))]
+    f3 = [turn("e", d1 + dt.timedelta(minutes=5)),  # LATE: behind wm
+          turn("f", d1 + dt.timedelta(days=1, minutes=1))]
+    src = str(tmp_path / "turns")
+    _write_file(spark, f1, spec.TRANSCRIPTS_DDL, f"{src}/f1", 1_000_000_000)
+    _write_file(spark, f2, spec.TRANSCRIPTS_DDL, f"{src}/f2", 1_000_000_100)
+    _write_file(spark, f2b, spec.TRANSCRIPTS_DDL, f"{src}/f2b",
+                1_000_000_200)
+    _write_file(spark, f3, spec.TRANSCRIPTS_DDL, f"{src}/f3", 1_000_000_300)
+
+    stream = (spark.readStream.schema(spec.TRANSCRIPTS_DDL)
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/*"))
+    out = windowed_turn_metrics(stream)
+    q = (out.writeStream.format("memory").queryName("winmetrics")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck2")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM winmetrics").collect()
+    day1 = sorted((r.role, r.n_turns, r.bytes_in) for r in rows
+                  if r.win.start.day == 5)
+    # the late row 'e' (same 10:00 window) must NOT be counted, and the
+    # closed window must have been emitted exactly once per role
+    assert day1 == [("assistant", 1, 10), ("user", 2, 20)]
