@@ -126,3 +126,72 @@ def test_d7_inference_recovers_random_layouts(ws, seed, n_rows):
         assert cut("withdrawal") == wdr
         assert cut("deposit") == dep
         assert cut("balance") == bal
+
+
+# --- winnowing fingerprint properties -----------------------------------
+
+def _py_winnow(text: str, k: int = 8, w: int = 4,
+               base: int = 257, mod: int = 1_000_000_007) -> set[int]:
+    """Pure-Python mirror of operators/textstats.winnow_fingerprints
+    (same frozen constants); parity with Spark is asserted in
+    test_winnow_spark_matches_python."""
+    if len(text) < k + w - 1:
+        return set()
+    hs = []
+    for i in range(len(text) - k + 1):
+        acc = 0
+        for c in text[i:i + k]:
+            acc = (acc * base + ord(c)) % mod
+        hs.append(acc)
+    return {min(hs[s:s + w]) for s in range(len(hs) - w + 1)}
+
+
+ascii_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0, max_size=60)
+
+
+@settings(max_examples=200, deadline=None)
+@given(ascii_text, ascii_text, st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=11, max_size=30))
+def test_winnow_shared_substring_shares_fingerprint(pre, post, shared):
+    """SIGMOD'03 guarantee: two documents sharing a substring of
+    length >= k + w - 1 (= 11 at the frozen k=8, w=4) share at least
+    one fingerprint."""
+    a = pre + shared + post
+    b = "Z" + shared + "Q"
+    assert _py_winnow(a) & _py_winnow(b)
+
+
+@settings(max_examples=200, deadline=None)
+@given(ascii_text)
+def test_winnow_fps_are_kgram_hashes(t):
+    """Soundness: every fingerprint is the hash of one of the
+    document's own k-grams (window minima select, never invent), and
+    only sub-threshold documents have empty sets."""
+    fps = _py_winnow(t)
+    if not fps:
+        assert len(t) < 11
+        return
+    grams = set()
+    for i in range(len(t) - 7):
+        acc = 0
+        for c in t[i:i + 8]:
+            acc = (acc * 257 + ord(c)) % 1_000_000_007
+        grams.add(acc)
+    assert fps <= grams
+
+
+def test_winnow_spark_matches_python(spark, fixture_rows):
+    """Parity: the Catalyst winnowing operator computes exactly the
+    Python mirror's fingerprint sets over real fixture texts."""
+    from bank_statement_pdf_parser_spark.operators.textstats import (
+        winnow_fingerprints)
+    texts = [(i, (r["text"] or "")[:400])
+             for i, r in enumerate(fixture_rows[:25])]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r.doc_id: set(r.fps)
+           for r in winnow_fingerprints(df).collect()}
+    for i, t in texts:
+        assert got[i] == _py_winnow(t), i
