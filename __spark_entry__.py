@@ -27,6 +27,12 @@ from pyspark.sql import functions as F
 
 def _prep(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # see session.get_spark: the inferred size(e)>0 filter under explode
+    # inlines expensive HOF array expressions (x_fingerprint would run
+    # O(len^2) per row); the driver's session needs the exclusion too
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     from bank_statement_pdf_parser_spark.session import ensure_shipped
     ensure_shipped(spark)
 
@@ -874,8 +880,10 @@ def _q_x_fingerprint(spark, sf_dir):
     _prep(spark)
     from bank_statement_pdf_parser_spark.operators.textstats import (
         winnow_fingerprints)
+    # the documents parquet is one row group -> one scan partition;
+    # spread the HOF-heavy hashing across cores before computing
     docs = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-            .select("doc_id", "text"))
+            .select("doc_id", "text").repartition(16, "doc_id"))
     fps = winnow_fingerprints(docs, k=8, w=4)
     return (fps.select("doc_id", F.explode("fps").alias("fp")).distinct())
 

@@ -58,6 +58,16 @@ def get_spark(app: str = "bank-statement-extract", master: str | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate synthesizes `size(e) > 0` under every
+        # explode and predicate-pushdown then INLINES e's full defining
+        # expression through the projects into the Filter/scan. For an
+        # expensive array column (HOF pipelines like winnowing) the
+        # inlined copy re-evaluates nested arrays per element — measured
+        # O(len^2) per row, minutes instead of seconds. The rule only
+        # skips empty-array rows early; excluding it is safe.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

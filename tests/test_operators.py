@@ -162,3 +162,22 @@ def test_quality_signals_and_bpe_counts(spark):
     assert row.sh == 3           # the, a, of (exact lowercase matches)
     assert row.pc == 3           # ',' '.' '!'
     assert row.sl == 30          # 39 chars minus 9 separators
+
+
+def test_winnow_explode_plan_has_single_hash_copy(spark):
+    """Regression: InferFiltersFromGenerate used to synthesize a
+    size(fps)>0 filter whose pushdown INLINED the whole rolling-hash
+    expression into the Filter and scan (O(len^2) per row, measured
+    minutes instead of seconds). With the rule excluded
+    (session.get_spark / __spark_entry__._prep) the hash expression
+    must appear exactly once in the physical plan — in the project
+    that stages the _h column."""
+    from pyspark.sql import functions as F
+    from bank_statement_pdf_parser_spark.operators.textstats import (
+        winnow_fingerprints)
+    df = spark.createDataFrame([(1, "abcdefghijklmnop")],
+                               "doc_id long, text string")
+    out = winnow_fingerprints(df).select(
+        "doc_id", F.explode("fps").alias("fp"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ascii(") == 1, plan[:2000]
