@@ -915,6 +915,57 @@ SELECT DISTINCT doc_id, fp FROM wmin WHERE i <= ng - 4
 """
 
 
+def _q_x_image_stats(spark, sf_dir):
+    """REAL image decode inside Spark, oracle-gated: each doc_id
+    becomes a genuine 2x2 P6 PPM whose 12 pixel bytes are
+    (doc_id*13 + j*7) % 256, so the decoded per-channel means are pure
+    integer arithmetic in ANSI SQL while the engine actually parses
+    the PPM header and raster (operators/multimodal.decode_ppm)."""
+    _prep(spark)
+    import numpy as np
+    import pandas as pd
+
+    from bank_statement_pdf_parser_spark.operators.multimodal import (
+        IMAGE_STATS_DDL, image_stats_kernel)
+
+    def build(batches):
+        from bank_statement_pdf_parser_spark.operators.multimodal import (
+            encode_ppm)
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            pays = [encode_ppm(np.array(
+                [(i * 13 + j * 7) % 256 for j in range(12)],
+                dtype=np.uint8).reshape(2, 2, 3)) for i in ids]
+            if ids:
+                yield pd.DataFrame({"media_id": ids, "payload": pays})
+
+    media = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+             .select("doc_id")
+             .mapInPandas(build, "media_id long, payload binary"))
+    stats = media.mapInPandas(image_stats_kernel(thumb=2), IMAGE_STATS_DDL)
+    return stats.select(
+        "media_id", "height", "width",
+        F.round(F.get("mean_rgb", 0), 6).alias("mean_r"),
+        F.round(F.get("mean_rgb", 1), 6).alias("mean_g"),
+        F.round(F.get("mean_rgb", 2), 6).alias("mean_b"))
+
+
+_X_IMAGE_STATS_SQL = """
+SELECT doc_id AS media_id, CAST(2 AS INTEGER) AS height,
+       CAST(2 AS INTEGER) AS width,
+       round(((doc_id*13 + 0*7)%256 + (doc_id*13 + 3*7)%256
+            + (doc_id*13 + 6*7)%256 + (doc_id*13 + 9*7)%256)/4.0, 6)
+           AS mean_r,
+       round(((doc_id*13 + 1*7)%256 + (doc_id*13 + 4*7)%256
+            + (doc_id*13 + 7*7)%256 + (doc_id*13 + 10*7)%256)/4.0, 6)
+           AS mean_g,
+       round(((doc_id*13 + 2*7)%256 + (doc_id*13 + 5*7)%256
+            + (doc_id*13 + 8*7)%256 + (doc_id*13 + 11*7)%256)/4.0, 6)
+           AS mean_b
+FROM documents WHERE doc_id < 200
+"""
+
+
 def _q_v1_balance_check(spark, sf_dir):
     """V1 as a gated row: extract the planted-error corpus, run the
     running-balance validator, return ONLY the violations — exactly
@@ -1023,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_token_bpe": _q_x_token_bpe,
         "x_quality_score": _q_x_quality_score,
         "x_fingerprint": _q_x_fingerprint,
+        "x_image_stats": _q_x_image_stats,
         "x_binary_checksum": _q_x_binary_checksum,
     }
 
@@ -1230,6 +1282,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(list_aggregate(list_transform(toks, x -> length(x)), "
             "'sum') AS BIGINT) AS sum_token_len FROM s"),
         "x_fingerprint": _X_FINGERPRINT_SQL,
+        "x_image_stats": _X_IMAGE_STATS_SQL,
         "x_binary_checksum": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, "
             "CAST(list_aggregate(list_transform(string_split(text, ''), "

@@ -1,14 +1,16 @@
 """Multimodal (binary) column plumbing for training-data pipelines.
 
 Images/audio/video ride as opaque `binary` columns with typed metadata
-structs; decode / feature-extract / frame-sample run as Arrow-batched
-pandas kernels over `mapInPandas`. The image/audio codec libraries are
-not installed in this sandbox, so REAL codec decode is gated behind an
-import-try (`decode_image_real`) and raises NotImplementedError when
-PIL is absent; everything Spark-side — schemas, batch shapes, UDF
-signatures, partitioning — is real and tested against a deterministic
-container format (`FakeMedia`, a 16-byte packed header + payload) so
-the plumbing is exercised end-to-end without codecs.
+structs; decode / feature-extract / resize / frame-sample run as
+Arrow-batched pandas kernels over `mapInPandas`. Image decode is REAL
+for the uncompressed standard formats — PPM (P6) and 24-bit BMP are
+parsed with pure numpy (`decode_ppm` / `decode_bmp24` /
+`decode_image_array`), including thumbnailing via `resize_nearest` —
+no codec library needed. Compressed formats (PNG/JPEG) are gated
+behind an import-try (`decode_image_real`) and raise
+NotImplementedError while PIL is absent in this sandbox. The
+deterministic `FakeMedia` container (16-byte packed header + payload)
+additionally exercises the audio/video plumbing end-to-end.
 """
 
 from __future__ import annotations
@@ -145,14 +147,140 @@ def sample_frames(every_k: int = 2):
 
 
 def decode_image_real(payload: bytes):
-    """Real codec path, gated: raises NotImplementedError without PIL."""
+    """Compressed-codec path (PNG/JPEG/...), gated: raises
+    NotImplementedError without PIL. Uncompressed standard formats
+    decode for real without PIL — see decode_image_array."""
     try:
         from PIL import Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "image codec libraries are not installed in this sandbox; "
-            "the FakeMedia container exercises the Spark-side plumbing "
-            "instead") from e
+            "compressed-image codec libraries are not installed in this "
+            "sandbox; PPM/BMP decode for real via decode_image_array, "
+            "and the FakeMedia container exercises the rest of the "
+            "Spark-side plumbing") from e
     import io
     from PIL import Image
     return Image.open(io.BytesIO(payload))
+
+
+# ---------------------------------------------------------------------------
+# real image codecs, no external libraries: PPM (P6) and 24-bit BMP are
+# standard uncompressed formats whose decode is header parsing + a
+# numpy reshape — so the "decode images at scale" path is exercised on
+# genuine files, not only the FakeMedia container. Compressed formats
+# still route to the PIL gate above.
+# ---------------------------------------------------------------------------
+
+def _ppm_tokens(buf: bytes, n: int, start: int):
+    """First n whitespace-separated tokens after `start`, skipping
+    `#` comments (PPM header grammar). Returns (tokens, next_offset)."""
+    toks, i = [], start
+    while len(toks) < n:
+        while i < len(buf) and buf[i:i + 1].isspace():
+            i += 1
+        if buf[i:i + 1] == b"#":
+            while i < len(buf) and buf[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and not buf[j:j + 1].isspace():
+            j += 1
+        toks.append(buf[i:j])
+        i = j
+    return toks, i + 1  # single whitespace after maxval precedes raster
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> HxWx3 uint8 array."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    (w, h, maxval), off = _ppm_tokens(payload, 3, 2)
+    w, h, maxval = int(w), int(h), int(maxval)
+    if maxval != 255:
+        raise ValueError("only maxval=255 supported")
+    raster = np.frombuffer(payload, np.uint8, count=w * h * 3, offset=off)
+    return raster.reshape(h, w, 3)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def decode_bmp24(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP -> HxWx3 uint8 RGB array (rows are
+    stored bottom-up, BGR, padded to 4-byte boundaries)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, np.uint8, count=stride * h,
+                         offset=off).reshape(h, stride)
+    img = rows[:, :w * 3].reshape(h, w, 3)[..., ::-1]  # BGR -> RGB
+    return img[::-1] if flip else img
+
+
+def encode_bmp24(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, :w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # flip + BGR
+    body = rows.tobytes()
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(body), 2835, 2835, 0, 0))
+    return header + body
+
+
+def decode_image_array(payload: bytes) -> np.ndarray:
+    """Any image payload -> HxWx3 uint8: pure-numpy for PPM/BMP,
+    PIL-gated for compressed formats."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp24(payload)
+    return np.asarray(decode_image_real(payload).convert("RGB"))
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    ys = np.arange(out_h) * img.shape[0] // out_h
+    xs = np.arange(out_w) * img.shape[1] // out_w
+    return img[ys][:, xs]
+
+
+IMAGE_STATS_DDL = ("media_id long, height int, width int, "
+                   "mean_rgb array<double>, thumb binary")
+
+
+def image_stats_kernel(thumb: int = 4):
+    """mapInPandas kernel: (media_id, payload) image rows -> decoded
+    geometry, channel means, and a nearest-neighbour thumbnail —
+    REAL decode for PPM/BMP payloads, no codec libraries needed."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from bank_statement_pdf_parser_spark.operators.multimodal import (
+            decode_image_array, resize_nearest)
+        for pdf in batches:
+            out = {"media_id": [], "height": [], "width": [],
+                   "mean_rgb": [], "thumb": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    img = decode_image_array(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue  # undecodable rows are skipped, not fatal
+                out["media_id"].append(int(mid))
+                out["height"].append(img.shape[0])
+                out["width"].append(img.shape[1])
+                out["mean_rgb"].append(
+                    img.reshape(-1, 3).mean(axis=0).tolist())
+                out["thumb"].append(
+                    resize_nearest(img, thumb, thumb).tobytes())
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+    return kernel
