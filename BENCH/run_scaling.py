@@ -92,8 +92,12 @@ def run_controlled(n: int, syn_path: str) -> list[dict]:
                SPARK_GRAFT_SYN_PATH=syn_path)
     out = subprocess.run([sys.executable, "-c", CONTROLLED_SRC], env=env,
                          capture_output=True, text=True, timeout=3600)
-    line = [l for l in out.stdout.splitlines() if l.startswith("[")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("[")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"controlled run failed (rc={out.returncode}); stderr tail:\n"
+            + "\n".join(out.stderr.splitlines()[-15:]))
+    return json.loads(lines[-1])
 
 
 def main() -> None:

@@ -885,7 +885,11 @@ def _q_x_fingerprint(spark, sf_dir):
     docs = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
             .select("doc_id", "text").repartition(16, "doc_id"))
     fps = winnow_fingerprints(docs, k=8, w=4)
-    return (fps.select("doc_id", F.explode("fps").alias("fp")).distinct())
+    # fps is array_distinct per doc and there is one row per doc_id, so
+    # the exploded (doc_id, fp) rows are already unique — no distinct()
+    # shuffle (the oracle needs SELECT DISTINCT because its window scan
+    # does emit duplicates)
+    return fps.select("doc_id", F.explode("fps").alias("fp"))
 
 
 _X_FINGERPRINT_SQL = """

@@ -80,24 +80,33 @@ def ann_candidate_pairs(sig: DataFrame, id_col: str = "vec_id",
     no silent caps): pass a `pyspark.sql.Observation` and the job that
     consumes the returned frame records `dropped_rows` (exact — rows
     whose pairs the guard discarded) and `dropped_buckets` (HLL
-    estimate). The bucket sizes come back via a broadcast join (cost
-    shape identical to the previous semi-join against the ok-bucket
-    list). AQE caveat, measured on 4.1: if the cap drops EVERY bucket,
-    AQE's empty-relation propagation eliminates the CollectMetrics
-    node with the pruned subtree and `observation.get` fails — metrics
-    are reliable exactly when the operator returns any pairs at all."""
+    estimate). Without an observation the cap is applied with a plain
+    semi-join and the planner picks the join strategy (at extreme
+    bucket cardinality — many tables x wide signatures — the count
+    table can exceed broadcast limits). With an observation the bucket
+    sizes come back via a broadcast join so the CollectMetrics node
+    sits on the probe side (Spark never reports metrics nodes inside a
+    broadcast exchange). AQE caveat, measured on 4.1: if the cap drops
+    EVERY bucket, AQE's empty-relation propagation eliminates the
+    CollectMetrics node with the pruned subtree and `observation.get`
+    fails — metrics are reliable exactly when the operator returns any
+    pairs at all."""
     sig = sig.select(id_col, "table", "bucket")
     counts = sig.groupBy("table", "bucket").agg(F.count("*").alias("n"))
-    sig = sig.join(F.broadcast(counts), ["table", "bucket"])
-    if observation is not None:
+    if observation is None:
+        ok = counts.filter(F.col("n") <= max_bucket) \
+            .select("table", "bucket")
+        sig = sig.join(ok, ["table", "bucket"], "left_semi")
+    else:
         over = F.col("n") > max_bucket
-        sig = sig.observe(
-            observation,
-            F.sum(over.cast("long")).alias("dropped_rows"),
-            F.approx_count_distinct(
-                F.when(over, F.concat_ws(":", "table", "bucket")))
-            .alias("dropped_buckets"))
-    sig = sig.filter(F.col("n") <= max_bucket).drop("n")
+        sig = (sig.join(F.broadcast(counts), ["table", "bucket"])
+               .observe(
+                   observation,
+                   F.sum(over.cast("long")).alias("dropped_rows"),
+                   F.approx_count_distinct(
+                       F.when(over, F.concat_ws(":", "table", "bucket")))
+                   .alias("dropped_buckets"))
+               .filter(F.col("n") <= max_bucket).drop("n"))
     l, r = sig.alias("l"), sig.alias("r")
     return (l.join(r, (F.col("l.table") == F.col("r.table"))
                    & (F.col("l.bucket") == F.col("r.bucket"))
@@ -151,17 +160,29 @@ def rhp_probe_buckets(df: DataFrame, vec_col: str = "embedding",
 
 
 def ann_multiprobe_pairs(sig: DataFrame, id_col: str = "vec_id",
-                         max_bucket: int = 500) -> DataFrame:
+                         max_bucket: int = 500,
+                         observation=None) -> DataFrame:
     """Candidates from multi-probe signatures: a pair is a candidate
     when EITHER side's probe ring reaches the other's home bucket, so
     the join is home-side x all-rows (both directions covered by
     normalizing a=min, b=max). Same bucket-size cap as the table
     variant, counted over all emitted rows (a flood floods its probe
-    ring too)."""
+    ring too), and the same observation seam — capped recall loss must
+    never be silent (see ann_candidate_pairs for the AQE caveat)."""
     sig = sig.select(id_col, "bucket", "is_probe")
-    ok = (sig.groupBy("bucket").agg(F.count("*").alias("n"))
-          .filter(F.col("n") <= max_bucket).select("bucket"))
-    sig = sig.join(F.broadcast(ok), ["bucket"], "left_semi")
+    counts = sig.groupBy("bucket").agg(F.count("*").alias("n"))
+    if observation is None:
+        ok = counts.filter(F.col("n") <= max_bucket).select("bucket")
+        sig = sig.join(ok, ["bucket"], "left_semi")
+    else:
+        over = F.col("n") > max_bucket
+        sig = (sig.join(F.broadcast(counts), ["bucket"])
+               .observe(
+                   observation,
+                   F.sum(over.cast("long")).alias("dropped_rows"),
+                   F.approx_count_distinct(F.when(over, F.col("bucket")))
+                   .alias("dropped_buckets"))
+               .filter(F.col("n") <= max_bucket).drop("n"))
     home = sig.filter(~F.col("is_probe")).alias("l")
     allr = sig.alias("r")
     lid, rid = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")

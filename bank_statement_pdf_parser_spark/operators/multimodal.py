@@ -198,7 +198,16 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     w, h, maxval = int(w), int(h), int(maxval)
     if maxval != 255:
         raise ValueError("only maxval=255 supported")
-    raster = np.frombuffer(payload, np.uint8, count=w * h * 3, offset=off)
+    # spec: exactly ONE whitespace byte between maxval and raster. A
+    # CRLF writer leaves a stray '\n' here; accept that one case but
+    # refuse any other size mismatch — silently shifted rasters would
+    # decode wrong pixels instead of raising.
+    n = w * h * 3
+    if len(payload) - off == n + 1 and payload[off:off + 1] == b"\n":
+        off += 1
+    if len(payload) - off < n:
+        raise ValueError("PPM raster truncated or header malformed")
+    raster = np.frombuffer(payload, np.uint8, count=n, offset=off)
     return raster.reshape(h, w, 3)
 
 

@@ -55,31 +55,35 @@ def _make_assemble(timeout_ms: int | None):
 
         if state.exists:
             idxs, parts, role, tool, ts, n_chunks = state.get
-            idxs, parts = list(idxs), list(parts)
+            # dict keyed by chunk_idx: O(1) duplicate detection (a list
+            # membership scan would be quadratic per heavily-fragmented
+            # turn); flattened back to parallel arrays for the state row
+            got = dict(zip(idxs, parts))
         else:
-            idxs, parts = [], []
+            got = {}
             role = tool = ts = n_chunks = None
 
         for pdf in pdfs:
             for row in pdf.itertuples(index=False):
-                if int(row.chunk_idx) in idxs:
+                ci = int(row.chunk_idx)
+                if ci in got:
                     continue  # duplicate delivery: first copy wins
-                idxs.append(int(row.chunk_idx))
-                parts.append(row.chunk if isinstance(row.chunk, str) else "")
+                got[ci] = row.chunk if isinstance(row.chunk, str) else ""
                 role = role or row.role
                 tool = tool if tool is not None else row.tool
                 ts = ts if ts is not None else row.ts
                 n_chunks = int(row.n_chunks)
 
-        if n_chunks is not None and len(idxs) >= n_chunks:
-            text = "".join(p for _, p in sorted(zip(idxs, parts)))
+        if n_chunks is not None and len(got) >= n_chunks:
+            text = "".join(got[i] for i in sorted(got))
             state.remove()
             yield pd.DataFrame({
                 "conv_id": [conv_id], "turn_idx": [turn_idx],
                 "role": [role], "text": [text], "tool": [tool],
                 "ts": [ts]})
         else:
-            state.update((idxs, parts, role, tool, ts, n_chunks))
+            state.update((list(got.keys()), list(got.values()),
+                          role, tool, ts, n_chunks))
             if timeout_ms is not None:
                 state.setTimeoutDuration(timeout_ms)
 

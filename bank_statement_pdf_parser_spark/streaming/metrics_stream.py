@@ -24,4 +24,7 @@ def windowed_turn_metrics(transcript_stream: DataFrame,
             .withWatermark("ts", watermark)
             .groupBy(F.window("ts", window_dur).alias("win"), "role")
             .agg(F.count("*").alias("n_turns"),
-                 F.sum(F.length("text")).cast("long").alias("bytes_in")))
+                 # octet_length: a bytes metric must count BYTES, not
+                 # characters (multi-byte UTF-8 would under-report)
+                 F.sum(F.octet_length("text")).cast("long")
+                 .alias("bytes_in")))

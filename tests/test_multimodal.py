@@ -78,6 +78,13 @@ def test_ppm_bmp_roundtrip_real_decode():
     assert np.array_equal(mm.decode_ppm(ppm), img)
     # dispatch: both formats through the one entry point
     assert np.array_equal(mm.decode_image_array(mm.encode_bmp24(img)), img)
+    # CRLF writer: stray '\n' before the raster is tolerated exactly
+    # when the size works out; any other mismatch must RAISE, never
+    # decode shifted pixels
+    crlf = b"P6\n3 5\n255\r\n" + img.tobytes()
+    assert np.array_equal(mm.decode_ppm(crlf), img)
+    with pytest.raises(ValueError):
+        mm.decode_ppm(b"P6\n3 5\n255\n" + img.tobytes()[:-1])
 
 
 def test_resize_nearest_geometry():
