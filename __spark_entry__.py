@@ -919,6 +919,49 @@ SELECT DISTINCT doc_id, fp FROM wmin WHERE i <= ng - 4
 """
 
 
+def _q_p4_noise_reject(spark, sf_dir):
+    """P4 under the gate: the balance corpus is polluted with three
+    noise turns per order — a disallowed role carrying a parseable
+    statement, an unclassifiable text (no bank signature), and an
+    empty payload. The oracle predicts the extraction output from the
+    CLEAN corpus alone: exactly 4 transactions per eligible order and
+    zero from any noise conv, proving every rejection rule fired."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.plans.extract import extract_all
+    from bank_statement_pdf_parser_spark.sources.tpch_bridge import (
+        uob_balance_transcripts)
+    clean = uob_balance_transcripts(spark, sf_dir)
+    okey = F.regexp_replace("conv_id", "^bal-", "")
+    noise = clean.select(
+        F.concat(F.lit("noise-"), okey).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("system").alias("role"),   # disallowed role, valid text
+        "text", "tool", "ts").unionByName(clean.select(
+            F.concat(F.lit("nosig-"), okey).alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.concat(F.lit("no known bank here O"), okey).alias("text"),
+            "tool", "ts")).unionByName(clean.select(
+            F.concat(F.lit("empty-"), okey).alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.lit("").alias("text"), "tool", "ts"))
+    txns = extract_all(clean.unionByName(noise)).transactions
+    return txns.agg(
+        F.count("*").cast("long").alias("n_txns"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        F.sum((~F.col("conv_id").startswith("bal-")).cast("long"))
+        .alias("n_from_noise"))
+
+
+_P4_NOISE_SQL = _ranked_sql(4) + """
+SELECT CAST(count(*) AS BIGINT) AS n_txns,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_convs,
+       CAST(0 AS BIGINT) AS n_from_noise
+FROM li
+"""
+
+
 def _q_x_image_stats(spark, sf_dir):
     """REAL image decode inside Spark, oracle-gated: each doc_id
     becomes a genuine 2x2 P6 PPM whose 12 pixel bytes are
@@ -1036,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_hdfc_txns": _dialect_txns("hdfc_transcripts"),
         "flagship_html_spans": _q_flagship_html_spans,
         "flagship_jitter_txns": _dialect_txns("uob_jitter_transcripts"),
+        "p4_noise_reject": _q_p4_noise_reject,
         "p2_filter_project": _q_p2_filter_project,
         "p3_classify": _q_p3_classify,
         "d1_token_count": _q_d1_token_count,
@@ -1094,6 +1138,7 @@ def oracle_sql() -> dict[str, str]:
         "flagship_hdfc_txns": _FLAGSHIP_HDFC_SQL,
         "flagship_html_spans": _FLAGSHIP_HTML_SPANS_SQL,
         "flagship_jitter_txns": _FLAGSHIP_JITTER_SQL,
+        "p4_noise_reject": _P4_NOISE_SQL,
         "p2_filter_project": (
             "SELECT event_id, user_id, value FROM events "
             "WHERE event_type = 'purchase' AND value > 50.0"),
