@@ -63,9 +63,11 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
     failures = 0
+    import time
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
@@ -95,7 +97,11 @@ def main():
             print(f"FAIL {name}: values differ; spark-only={diff_a} duck-only={diff_b}")
             failures += 1
         else:
-            print(f"OK   {name}: {len(sr)} rows")
+            # wall time catches plan pathologies (a round-3 optimizer
+            # trap made one green query take minutes) before they eat
+            # the driver's budget
+            print(f"OK   {name}: {len(sr)} rows "
+                  f"({time.perf_counter() - t0:.1f}s)")
     print(f"\n{failures} failures")
     spark.stop()
     sys.exit(1 if failures else 0)
