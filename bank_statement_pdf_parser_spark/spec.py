@@ -17,6 +17,7 @@ the resolved document text of a turn.
 
 from __future__ import annotations
 
+import functools
 import re
 
 # ---------------------------------------------------------------------------
@@ -85,8 +86,10 @@ BOILER_RX: dict[str, list[str]] = {
 }
 
 
+@functools.lru_cache(maxsize=None)
 def boiler_rx_combined(bank: str) -> str:
-    """One alternation regex per bank: blank OR any header/footer OR B/F."""
+    """One alternation regex per bank: blank OR any header/footer OR B/F.
+    Memoized: the fused kernel asks once per document."""
     pats = [r"^\s*$", BALANCE_BF_RX] + BOILER_RX[bank]
     return "|".join(f"(?:{p})" for p in pats)
 
