@@ -723,6 +723,27 @@ def _q_x_ann_multiprobe(spark, sf_dir):
             .select("a", "b", F.round("cos", 6).alias("cos_r")))
 
 
+def _q_x_ann_ivf(spark, sf_dir):
+    """IVF ANN end-to-end: k-means coarse quantizer (pyspark.ml) ->
+    nearest-centroid buckets + 1 probe -> candidate join -> exact
+    cosine verify. Shifted-copy corpus again: identical vectors share
+    their nearest centroid whatever the clustering looks like, so the
+    verified >=0.99 pairs are exactly {(i, i+100000)}."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.ann import (
+        ann_multiprobe_pairs, ivf_buckets, ivf_fit_centers,
+        verified_cosine_pairs)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
+    centers = ivf_fit_centers(emb, k=8, seed=7)
+    sig = ivf_buckets(corpus, centers, n_probes=2)
+    cand = ann_multiprobe_pairs(sig)
+    pairs = verified_cosine_pairs(corpus, cand)
+    return (pairs.filter(F.round("cos", 6) >= 0.99)
+            .select("a", "b", F.round("cos", 6).alias("cos_r")))
+
+
 def _q_x_simhash(spark, sf_dir):
     """SimHash64 with an exact ANSI-SQL oracle via two invariants:
     (a) order-insensitivity — the simhash of the REVERSED token stream
@@ -1116,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_neardup_pipeline": _q_x_neardup_pipeline,
         "x_ann_lsh": _q_x_ann_lsh,
         "x_ann_multiprobe": _q_x_ann_multiprobe,
+        "x_ann_ivf": _q_x_ann_ivf,
         "x_simhash": _q_x_simhash,
         "x_lattice_rails": _q_x_lattice_rails,
         "x_exact_dedup_groups": _q_x_exact_dedup_groups,
@@ -1297,6 +1319,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id AS a, vec_id + 100000 AS b, "
             "CAST(1.0 AS DOUBLE) AS cos_r FROM embeddings"),
         "x_ann_multiprobe": (
+            "SELECT vec_id AS a, vec_id + 100000 AS b, "
+            "CAST(1.0 AS DOUBLE) AS cos_r FROM embeddings"),
+        "x_ann_ivf": (
             "SELECT vec_id AS a, vec_id + 100000 AS b, "
             "CAST(1.0 AS DOUBLE) AS cos_r FROM embeddings"),
         "x_lattice_rails": (

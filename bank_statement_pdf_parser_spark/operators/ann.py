@@ -13,7 +13,12 @@ Two tiers (both pure DataFrame ops, no UDFs):
   neighbours amplifies two ways: OR over `n_tables` independent plane
   sets, or multi-probe (`rhp_probe_buckets` + `ann_multiprobe_pairs`) —
   one table probed at the least-confident flipped bits, fewer emitted
-  rows for comparable recall.
+  rows for comparable recall;
+- IVF (`ivf_fit_centers` + `ivf_buckets`) — a k-means coarse quantizer
+  (pyspark.ml, trainable on a sample) whose nearest-centroid buckets +
+  nprobe next-nearest probes feed the SAME `ann_multiprobe_pairs`
+  candidate join. Identical vectors share their nearest centroid, so
+  exact-duplicate recall is again 1.0 by construction.
 
 Hyperplanes are seeded pseudo-random literals (driver-side, tiny), so
 the whole plan is deterministic and JVM-evaluated.
@@ -23,7 +28,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def _planes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
@@ -190,6 +195,62 @@ def ann_multiprobe_pairs(sig: DataFrame, id_col: str = "vec_id",
                       & (lid != rid))
             .select(F.least(lid, rid).alias("a"),
                     F.greatest(lid, rid).alias("b")).distinct())
+
+
+def ivf_fit_centers(df: DataFrame, vec_col: str = "embedding",
+                    k: int = 16, seed: int = 7,
+                    sample_frac: float | None = None) -> list[list[float]]:
+    """IVF coarse quantizer: fit k-means (pyspark.ml, distributed) on
+    the corpus — optionally on a sample, which is how a 100 TB corpus
+    trains its quantizer — and return the centers as plain lists for
+    literal embedding in the assignment expressions."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    train = df if sample_frac is None else df.sample(sample_frac, seed=seed)
+    feats = train.select(array_to_vector(
+        F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=k, seed=seed).fit(feats)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def ivf_buckets(df: DataFrame, centers: list[list[float]],
+                vec_col: str = "embedding",
+                n_probes: int = 1) -> DataFrame:
+    """IVF assignment, pure Catalyst from the fitted centers: every
+    vector lands in its NEAREST centroid's bucket (is_probe=false) and,
+    with n_probes > 1, also in the next-nearest (n_probes-1) buckets
+    (is_probe=true) — the classic IVF nprobe trade-off, expressed so
+    `ann_multiprobe_pairs` consumes it unchanged (home x all join).
+
+    The squared distances are staged once as an array column (HOF
+    lambdas re-evaluate referenced array expressions per element)."""
+    def d2(center: list[float]) -> Column:
+        lit = F.array(*[F.lit(x) for x in center])
+        return F.aggregate(
+            F.zip_with(F.col(vec_col), lit,
+                       lambda x, c: (x.cast("double") - c)
+                       * (x.cast("double") - c)),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    out = df.withColumn("_d2", F.array(*[d2(c) for c in centers]))
+    dd = F.col("_d2")
+    ranked = F.array_sort(F.transform(
+        F.sequence(F.lit(0), F.lit(len(centers) - 1)),
+        lambda i: F.struct(F.get(dd, i).alias("d"),
+                           i.cast("int").alias("i"))))
+    out = out.withColumn("_rk", ranked)
+    rk = F.col("_rk")
+    rows = F.concat(
+        F.array(F.struct(F.get(rk, 0)["i"].cast("long").alias("bucket"),
+                         F.lit(False).alias("is_probe"))),
+        F.transform(
+            F.slice(rk, 2, max(n_probes - 1, 0)),
+            lambda s: F.struct(s["i"].cast("long").alias("bucket"),
+                               F.lit(True).alias("is_probe"))))
+    return (out.select("*", F.explode(rows).alias("bk"))
+            .withColumn("bucket", F.col("bk.bucket"))
+            .withColumn("is_probe", F.col("bk.is_probe"))
+            .drop("bk", "_d2", "_rk"))
 
 
 def verified_cosine_pairs(df: DataFrame, cand: DataFrame,

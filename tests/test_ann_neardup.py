@@ -164,3 +164,25 @@ def test_ann_multi_table_recall(spark):
     r4 = _recall(spark, rows, n_tables=4)
     assert r4 > r1
     assert r4 >= 0.75
+
+
+def test_ann_ivf_recall(spark):
+    """IVF: nearest-centroid candidates find most twins; probing the
+    second-nearest centroid recovers boundary twins the single-cell
+    assignment splits."""
+    from bank_statement_pdf_parser_spark.operators.ann import (
+        ann_multiprobe_pairs, ivf_buckets, ivf_fit_centers)
+    rows = _twin_corpus()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centers = ivf_fit_centers(df, k=8, seed=3)
+    assert len(centers) == 8 and len(centers[0]) == 16
+
+    def recall(n_probes):
+        cand = ann_multiprobe_pairs(ivf_buckets(df, centers,
+                                                n_probes=n_probes))
+        return (cand.filter(F.col("b") == F.col("a") + 1000).count()
+                / (len(rows) // 2))
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1
+    assert r2 >= 0.85
