@@ -1034,6 +1034,57 @@ FROM documents WHERE doc_id < 200
 """
 
 
+def _q_x_audio_stats(spark, sf_dir):
+    """REAL audio decode inside Spark, oracle-gated: each doc_id
+    becomes a genuine RIFF/WAVE PCM16 file whose 64 samples are
+    ((doc_id*7 + j*11) % 256 - 128) * 255, so energy (sum of squares)
+    and strict zero crossings are exact integer arithmetic in ANSI SQL
+    while the engine actually walks the RIFF chunks
+    (operators/multimodal.decode_wav)."""
+    _prep(spark)
+    import numpy as np
+    import pandas as pd
+
+    from bank_statement_pdf_parser_spark.operators.multimodal import (
+        AUDIO_STATS_DDL, audio_stats_kernel)
+
+    def build(batches):
+        from bank_statement_pdf_parser_spark.operators.multimodal import (
+            encode_wav)
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            pays = []
+            for i in ids:
+                s = np.array([((i * 7 + j * 11) % 256 - 128) * 255
+                              for j in range(64)], dtype=np.int16)
+                pays.append(encode_wav(s, 8000 + (i % 2) * 8000))
+            if ids:
+                yield pd.DataFrame({"media_id": ids, "payload": pays})
+
+    media = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+             .select("doc_id")
+             .mapInPandas(build, "media_id long, payload binary"))
+    return media.mapInPandas(audio_stats_kernel(), AUDIO_STATS_DDL)
+
+
+_X_AUDIO_STATS_SQL = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+s AS (SELECT doc_id, CAST(unnest(range(64)) AS BIGINT) AS j FROM d),
+v AS (SELECT doc_id, j,
+             ((doc_id*7 + j*11) % 256 - 128) * 255 AS smp FROM s),
+w AS (SELECT doc_id, j, smp,
+             lag(smp) OVER (PARTITION BY doc_id ORDER BY j) AS prev
+      FROM v)
+SELECT doc_id AS media_id,
+       CAST(8000 + (doc_id % 2) * 8000 AS INTEGER) AS sample_rate,
+       CAST(64 AS BIGINT) AS n_samples,
+       CAST(SUM(smp*smp) AS BIGINT) AS sum_sq,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND prev*smp < 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross
+FROM w GROUP BY doc_id
+"""
+
+
 def _q_v1_balance_check(spark, sf_dir):
     """V1 as a gated row: extract the planted-error corpus, run the
     running-balance validator, return ONLY the violations — exactly
@@ -1145,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_quality_score": _q_x_quality_score,
         "x_fingerprint": _q_x_fingerprint,
         "x_image_stats": _q_x_image_stats,
+        "x_audio_stats": _q_x_audio_stats,
         "x_binary_checksum": _q_x_binary_checksum,
     }
 
@@ -1357,6 +1409,7 @@ def oracle_sql() -> dict[str, str]:
             "'sum') AS BIGINT) AS sum_token_len FROM s"),
         "x_fingerprint": _X_FINGERPRINT_SQL,
         "x_image_stats": _X_IMAGE_STATS_SQL,
+        "x_audio_stats": _X_AUDIO_STATS_SQL,
         "x_binary_checksum": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, "
             "CAST(list_aggregate(list_transform(string_split(text, ''), "

@@ -264,6 +264,81 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return img[ys][:, xs]
 
 
+# ---------------------------------------------------------------------------
+# real audio codec, no external libraries: RIFF/WAVE PCM16 is a chunked
+# container whose decode is header walking + a numpy frombuffer — the
+# audio analogue of the PPM/BMP decoders above. Compressed audio would
+# gate on soundfile/librosa the same way compressed images gate on PIL.
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Mono PCM16 RIFF/WAVE."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM16 mono -> (sample_rate, int16 samples). Real chunk
+    walking: unknown chunks are skipped (word-aligned), fmt must
+    declare uncompressed 16-bit mono."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, sr, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, ch, sr, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body)
+            if (audio_fmt, ch, bits) != (1, 1, 16):
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if sr is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if len(data) % 2:
+        raise ValueError("odd PCM16 data length")
+    return sr, np.frombuffer(data, dtype="<i2")
+
+
+AUDIO_STATS_DDL = ("media_id long, sample_rate int, n_samples long, "
+                   "sum_sq long, n_zero_cross long")
+
+
+def audio_stats_kernel():
+    """mapInPandas kernel: (media_id, payload) WAV rows -> sample rate,
+    length, energy (exact integer sum of squares) and strict zero
+    crossings — the feature-extraction stage of an audio curation
+    pipeline, integer-exact so a SQL oracle can replay it."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from bank_statement_pdf_parser_spark.operators.multimodal import (
+            decode_wav)
+        for pdf in batches:
+            out = {"media_id": [], "sample_rate": [], "n_samples": [],
+                   "sum_sq": [], "n_zero_cross": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    sr, s = decode_wav(bytes(payload))
+                except ValueError:
+                    continue
+                s64 = s.astype(np.int64)
+                out["media_id"].append(int(mid))
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(len(s))
+                out["sum_sq"].append(int((s64 * s64).sum()))
+                out["n_zero_cross"].append(
+                    int(np.count_nonzero(s64[:-1] * s64[1:] < 0)))
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+    return kernel
+
+
 IMAGE_STATS_DDL = ("media_id long, height int, width int, "
                    "mean_rgb array<double>, thumb binary")
 

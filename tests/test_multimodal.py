@@ -120,3 +120,38 @@ def test_image_stats_kernel_real_images(spark):
 def test_compressed_codec_still_gated():
     with pytest.raises(NotImplementedError):
         mm.decode_image_array(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_wav_roundtrip_and_chunk_walking():
+    """WAV PCM16 decode is REAL: RIFF chunk walking skips unknown
+    (odd-length, word-aligned) chunks; malformed containers raise."""
+    s = np.array([0, 100, -100, 32767, -32768, 7], dtype=np.int16)
+    payload = mm.encode_wav(s, 8000)
+    sr, got = mm.decode_wav(payload)
+    assert sr == 8000 and np.array_equal(got, s)
+    # inject an unknown odd-length chunk between fmt and data
+    fmt_end = payload.index(b"data")
+    weird = payload[:fmt_end] + b"LIST" + (3).to_bytes(4, "little") \
+        + b"xyz\x00" + payload[fmt_end:]
+    sr2, got2 = mm.decode_wav(weird)
+    assert sr2 == 8000 and np.array_equal(got2, s)
+    with pytest.raises(ValueError):
+        mm.decode_wav(b"RIFFxxxxWAVE")          # no fmt/data
+    with pytest.raises(ValueError):
+        mm.decode_wav(b"OggS not a wav at all")
+
+
+def test_audio_stats_kernel(spark):
+    s0 = np.array([1000, -1000, 1000, -1000], dtype=np.int16)
+    s1 = np.array([5, 5, 5, 5, 5], dtype=np.int16)
+    rows = [(0, mm.encode_wav(s0, 8000)), (1, mm.encode_wav(s1, 16000)),
+            (9, b"not audio")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in
+           df.mapInPandas(mm.audio_stats_kernel(),
+                          mm.AUDIO_STATS_DDL).collect()}
+    assert set(got) == {0, 1}
+    assert got[0].sum_sq == 4 * 1000 * 1000
+    assert got[0].n_zero_cross == 3
+    assert (got[1].sample_rate, got[1].n_samples,
+            got[1].n_zero_cross) == (16000, 5, 0)
