@@ -1085,6 +1085,54 @@ FROM w GROUP BY doc_id
 """
 
 
+def _q_x_video_frames(spark, sf_dir):
+    """REAL video container decode inside Spark, oracle-gated: each
+    doc_id becomes a genuine Y4M stream of 2 + doc_id%3 mono 4x2
+    frames with luma bytes (doc_id*3 + f*17 + p*5) % 256; every 2nd
+    frame is sampled and its exact integer luma sum emitted, all pure
+    integer arithmetic for the DuckDB oracle while the engine walks
+    the actual FRAME markers (operators/multimodal.decode_y4m)."""
+    _prep(spark)
+    import numpy as np
+    import pandas as pd
+
+    from bank_statement_pdf_parser_spark.operators.multimodal import (
+        VIDEO_FRAMES_DDL, video_frames_kernel)
+
+    def build(batches):
+        from bank_statement_pdf_parser_spark.operators.multimodal import (
+            encode_y4m)
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            pays = []
+            for i in ids:
+                frames = [np.array([(i * 3 + f * 17 + p * 5) % 256
+                                    for p in range(8)],
+                                   dtype=np.uint8).reshape(2, 4)
+                          for f in range(2 + i % 3)]
+                pays.append(encode_y4m(frames, 4, 2))
+            if ids:
+                yield pd.DataFrame({"media_id": ids, "payload": pays})
+
+    media = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+             .select("doc_id")
+             .mapInPandas(build, "media_id long, payload binary"))
+    return media.mapInPandas(video_frames_kernel(every_k=2),
+                             VIDEO_FRAMES_DDL)
+
+
+_X_VIDEO_FRAMES_SQL = """
+WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents
+           WHERE doc_id < 300),
+f AS (SELECT doc_id, CAST(unnest(range(nf)) AS BIGINT) AS fi FROM d),
+s AS (SELECT doc_id, fi, CAST(unnest(range(8)) AS BIGINT) AS p FROM f)
+SELECT doc_id AS media_id, CAST(fi AS INTEGER) AS frame_idx,
+       CAST(4 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+       CAST(SUM((doc_id*3 + fi*17 + p*5) % 256) AS BIGINT) AS sum_y
+FROM s WHERE fi % 2 = 0 GROUP BY doc_id, fi
+"""
+
+
 def _q_v1_balance_check(spark, sf_dir):
     """V1 as a gated row: extract the planted-error corpus, run the
     running-balance validator, return ONLY the violations — exactly
@@ -1197,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_fingerprint": _q_x_fingerprint,
         "x_image_stats": _q_x_image_stats,
         "x_audio_stats": _q_x_audio_stats,
+        "x_video_frames": _q_x_video_frames,
         "x_binary_checksum": _q_x_binary_checksum,
     }
 
@@ -1410,6 +1459,7 @@ def oracle_sql() -> dict[str, str]:
         "x_fingerprint": _X_FINGERPRINT_SQL,
         "x_image_stats": _X_IMAGE_STATS_SQL,
         "x_audio_stats": _X_AUDIO_STATS_SQL,
+        "x_video_frames": _X_VIDEO_FRAMES_SQL,
         "x_binary_checksum": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, "
             "CAST(list_aggregate(list_transform(string_split(text, ''), "

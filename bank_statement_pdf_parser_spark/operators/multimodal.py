@@ -339,6 +339,92 @@ def audio_stats_kernel():
     return kernel
 
 
+# ---------------------------------------------------------------------------
+# real video container, no external libraries: Y4M (YUV4MPEG2) is an
+# uncompressed chunked stream — a text header, then FRAME markers with
+# raw planar YUV. Decode is marker walking + numpy slicing, completing
+# the image/audio/video real-codec triad (compressed video would gate
+# on pyav/ffmpeg exactly like compressed images gate on PIL).
+# ---------------------------------------------------------------------------
+
+def encode_y4m(frames_y: list[np.ndarray], w: int, h: int) -> bytes:
+    """Mono (C mono) Y4M from per-frame luma planes."""
+    out = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 Cmono\n" % (w, h)]
+    for y in frames_y:
+        out.append(b"FRAME\n" + y.astype(np.uint8).tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes):
+    """Y4M -> (w, h, [per-frame luma planes]). Supports C420 (luma
+    extracted, chroma skipped) and Cmono; validates the stream header
+    and every FRAME marker."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2 "):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    colorspace = b"420"
+    for tok in payload[10:nl].split(b" "):
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            colorspace = tok[1:]
+    if not w or not h:
+        raise ValueError("missing W/H in Y4M header")
+    if colorspace.startswith(b"420"):
+        fsize = w * h * 3 // 2
+    elif colorspace == b"mono":
+        fsize = w * h
+    else:
+        raise ValueError(f"unsupported colorspace {colorspace!r}")
+    frames, pos = [], nl + 1
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("corrupt FRAME marker")
+        pos = fnl + 1
+        if pos + fsize > len(payload):
+            raise ValueError("truncated frame")
+        frames.append(np.frombuffer(payload, np.uint8, count=w * h,
+                                    offset=pos).reshape(h, w))
+        pos += fsize
+    return w, h, frames
+
+
+VIDEO_FRAMES_DDL = ("media_id long, frame_idx int, width int, height int, "
+                    "sum_y long")
+
+
+def video_frames_kernel(every_k: int = 2):
+    """mapInPandas kernel: (media_id, payload) Y4M rows -> one row per
+    SAMPLED frame (every k-th) with its exact integer luma sum — the
+    frame-sampling + feature stage of a video curation pipeline, 1->N
+    explode inside the UDF."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from bank_statement_pdf_parser_spark.operators.multimodal import (
+            decode_y4m)
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "width": [],
+                   "height": [], "sum_y": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, frames = decode_y4m(bytes(payload))
+                except ValueError:
+                    continue
+                for fi in range(0, len(frames), every_k):
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(fi)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["sum_y"].append(
+                        int(frames[fi].astype(np.int64).sum()))
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+    return kernel
+
+
 IMAGE_STATS_DDL = ("media_id long, height int, width int, "
                    "mean_rgb array<double>, thumb binary")
 
