@@ -85,6 +85,8 @@ def decode_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
                                       pdf["payload"]):
             b = bytes(payload)
+            if len(b) < HEADER.size:
+                continue  # undecodable rows are skipped, not fatal
             magic, k, _ver, w, h, sr, nf = HEADER.unpack_from(b)
             if magic != MAGIC:
                 continue
@@ -130,6 +132,8 @@ def sample_frames(every_k: int = 2):
             ids, idxs, frames = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
+                if len(b) < HEADER.size:
+                    continue  # undecodable rows are skipped, not fatal
                 magic, k, _v, w, h, _sr, nf = HEADER.unpack_from(b)
                 if magic != MAGIC or k != KIND_VIDEO or not (w and h):
                     continue
@@ -221,6 +225,10 @@ def decode_bmp24(payload: bytes) -> np.ndarray:
     stored bottom-up, BGR, padded to 4-byte boundaries)."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP")
+    if len(payload) < 34:
+        # guard before unpack_from: struct.error would escape the
+        # kernels' ValueError net and fail the whole Spark stage
+        raise ValueError("BMP header truncated")
     off = struct.unpack_from("<I", payload, 10)[0]
     w, h = struct.unpack_from("<ii", payload, 18)
     planes, bpp = struct.unpack_from("<HH", payload, 26)
@@ -293,11 +301,17 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         (clen,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8:pos + 8 + clen]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("fmt chunk truncated")
             audio_fmt, ch, sr, _br, _ba, bits = struct.unpack_from(
                 "<HHIIHH", body)
             if (audio_fmt, ch, bits) != (1, 1, 16):
                 raise ValueError("only PCM16 mono supported")
         elif cid == b"data":
+            if len(body) != clen:
+                # slicing clamps: a truncated payload would silently
+                # decode to fewer samples (wrong n_samples/sum_sq)
+                raise ValueError("data chunk truncated")
             data = body
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if sr is None or data is None:

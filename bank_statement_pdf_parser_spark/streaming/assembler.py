@@ -66,6 +66,11 @@ def _make_assemble(timeout_ms: int | None):
         for pdf in pdfs:
             for row in pdf.itertuples(index=False):
                 ci = int(row.chunk_idx)
+                if not (0 <= ci < int(row.n_chunks)):
+                    # a stray out-of-range index must not substitute
+                    # for a missing real fragment in the count-based
+                    # completion check below
+                    continue
                 if ci in got:
                     continue  # duplicate delivery: first copy wins
                 got[ci] = row.chunk if isinstance(row.chunk, str) else ""

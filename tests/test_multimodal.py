@@ -104,7 +104,8 @@ def test_image_stats_kernel_real_images(spark):
     rows = [(0, mm.encode_ppm(imgs[0])), (1, mm.encode_bmp24(imgs[1])),
             (2, mm.encode_ppm(imgs[2])), (3, mm.encode_bmp24(imgs[3])),
             (9, b"\x89PNG not really decodable here"),
-            (10, b"garbage")]
+            (10, b"garbage"),
+            (11, b"BM\x00\x00")]  # valid magic, truncated header
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     got = {r.media_id: r for r in
            df.mapInPandas(mm.image_stats_kernel(thumb=4),
@@ -141,11 +142,27 @@ def test_wav_roundtrip_and_chunk_walking():
         mm.decode_wav(b"OggS not a wav at all")
 
 
+def test_truncated_containers_raise_value_error_not_struct_error():
+    """Truncated headers with valid magic must raise ValueError (the
+    kernels' skip net), never struct.error — one malformed payload must
+    not fail a whole Spark stage."""
+    with pytest.raises(ValueError):
+        mm.decode_bmp24(b"BM\x00\x00")            # header cut short
+    s = np.array([1, 2, 3, 4], dtype=np.int16)
+    wav = mm.encode_wav(s, 8000)
+    with pytest.raises(ValueError):
+        mm.decode_wav(wav[:-3])                   # data chunk < clen
+    fmt_at = wav.index(b"fmt ")
+    with pytest.raises(ValueError):
+        mm.decode_wav(wav[:fmt_at + 12])          # fmt chunk cut short
+
+
 def test_audio_stats_kernel(spark):
     s0 = np.array([1000, -1000, 1000, -1000], dtype=np.int16)
     s1 = np.array([5, 5, 5, 5, 5], dtype=np.int16)
     rows = [(0, mm.encode_wav(s0, 8000)), (1, mm.encode_wav(s1, 16000)),
-            (9, b"not audio")]
+            (9, b"not audio"),
+            (11, mm.encode_wav(s0, 8000)[:-3])]   # truncated data chunk
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     got = {r.media_id: r for r in
            df.mapInPandas(mm.audio_stats_kernel(),

@@ -79,9 +79,12 @@ def test_stateful_turn_assembler(spark, tmp_path):
         return (conv, turn, "user", idx, n, text, None, ts)
 
     # turn A: 3 chunks over two batches (chunk 1 duplicated);
-    # turn B: 2 chunks in one batch; turn C: incomplete (1 of 2)
+    # turn B: 2 chunks in one batch; turn C: incomplete (1 of 2);
+    # turn D: a stray out-of-range chunk_idx must NOT substitute for
+    # the missing real fragment (index-coverage, not raw count)
     f1 = [chunk("A", 0, 0, 3, "alpha "), chunk("A", 0, 1, 3, "beta "),
-          chunk("C", 0, 0, 2, "never")]
+          chunk("C", 0, 0, 2, "never"),
+          chunk("D", 0, 0, 2, "dee "), chunk("D", 0, 5, 2, "stray")]
     f2 = [chunk("A", 0, 1, 3, "beta "),  # duplicate delivery
           chunk("A", 0, 2, 3, "gamma"),
           chunk("B", 1, 1, 2, "world"), chunk("B", 1, 0, 2, "hello ")]
