@@ -74,6 +74,9 @@ print(json.dumps(runs))
 def run_once(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_SF_DIR=sf_dir,
+               # this harness interleaves its own repeats; each bench
+               # subprocess is one sample
+               SPARK_GRAFT_BENCH_REPEATS="1",
                SPARK_GRAFT_TASK_CPUS=os.environ.get(
                    "SPARK_GRAFT_TASK_CPUS", "1"),
                SPARK_GRAFT_SALT_MULT=os.environ.get(
