@@ -49,13 +49,20 @@ def cpu_busy():
 def run_level(cpus, path):
     from bank_statement_pdf_parser_spark.session import get_spark
     from bank_statement_pdf_parser_spark.plans.extract import extract_all
+    # scan-side splits (not a salt shuffle) provide the parallelism:
+    # 2m splits give ~150 scan partitions on the 60k-conv corpus —
+    # >= 3 tasks/core at BOTH levels, raw text never crosses an
+    # Exchange (round-4 measurement: the salt repartition cost ~35%
+    # of extraction wall and is only the SKEW defense, not needed on
+    # this uniform corpus)
     spark = get_spark(app=f"ctl-{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=16)
+                      shuffle_partitions=16,
+                      **{"spark.sql.files.maxPartitionBytes": "2m"})
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.read.parquet(path)
     # warmup: JIT + Python workers + parquet footers
-    extract_all(df.limit(cpus * 64), salt_partitions=cpus).records.count()
-    out = extract_all(df, salt_partitions=cpus * 3)
+    extract_all(df.limit(cpus * 64)).records.count()
+    out = extract_all(df)
     c0, t0 = cpu_busy(), time.perf_counter()
     out.transactions.count(); out.spans.count()
     wall, busy = time.perf_counter() - t0, cpu_busy() - c0
@@ -80,7 +87,7 @@ def run_once(cpus: int, sf_dir: str) -> dict:
                SPARK_GRAFT_TASK_CPUS=os.environ.get(
                    "SPARK_GRAFT_TASK_CPUS", "1"),
                SPARK_GRAFT_SALT_MULT=os.environ.get(
-                   "SPARK_GRAFT_SALT_MULT", "3"),
+                   "SPARK_GRAFT_SALT_MULT", "0"),
                SPARK_GRAFT_BENCH_CONVS=os.environ.get(
                    "SPARK_GRAFT_BENCH_CONVS", "60000"))
     out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],

@@ -11,16 +11,33 @@ of turn rows: zero shuffles touch raw text; only extracted records
 blesses this fusion; the un-fused pure-Catalyst composition of the same
 operators lives in `relational.py` and is cross-checked for equality.
 
-Inside the UDF, flags are compiled C regexes and offsets are a single
-running accumulation over the line list — no Spark-row Python, no
-per-character Python loops (NumPy cumsum was measured slower than the
-accumulator for typical 10-60 line documents).
+Inside the UDF, per-core throughput is the engine's ceiling, so the
+kernel is shaped around the measured hot spots (round-4 profile):
+
+- ONE combined `boiler|anchor` alternation match per line instead of
+  two passes (boiler alternatives first, so precedence is identical to
+  the sequential checks);
+- records accumulate as full row TUPLES and the output frame is built
+  by `zip(*rows)` into object ndarrays concatenated without block
+  consolidation — 3x faster to build than per-column list appends +
+  `pd.DataFrame(dict)`, and ~2x faster for Arrow to serialize (object
+  columns skip pandas' numeric re-inference);
+- stream-table field cells are cut with precomputed slice locals, not
+  a per-record closure;
+- line offsets come from one C-level `itertools.accumulate`, and the
+  frequency-rule strip pass only runs on multi-page documents.
+
+All of this is plumbing only: `_parse_doc` output is byte-identical to
+the oracle (`oracle/parser.py`) and the relational plan — the frozen
+spec triple-equality (CLAUDE.md) is untouched.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
+from itertools import accumulate, chain
 
+import numpy as np
 import pandas as pd
 
 from .. import spec
@@ -44,6 +61,22 @@ _RECORD_COLS = [
     "p_start_mon", "p_start_year", "p_end_year",
 ]
 
+# (date, value_date, withdrawal-like, deposit-like, balance, ref) SLICES
+# keys per bank; None = field absent for that bank.
+_FIELD_KEYS = {
+    "DBS": ("date", "value_date", "debit", "credit", "balance", None),
+    "HDFC": ("date", "value_date", "withdrawal", "deposit", "balance",
+             "ref"),
+    "UOB": ("date", None, "withdrawal", "deposit", "balance", None),
+}
+
+
+def _combined_rx(bank: str):
+    """One alternation: boiler patterns first (same precedence as the
+    sequential boiler-then-anchor checks), anchor as named group A."""
+    return spec.rx("(?:" + spec.boiler_rx_combined(bank) + ")|(?P<A>"
+                   + spec.ANCHOR_RX[bank] + ")")
+
 
 def _ocbc_cells(raw: str, line_off: int):
     """[(cell_idx, start, end, stripped)] for non-empty cells of one row."""
@@ -66,66 +99,57 @@ def _parse_doc(doc: str, bank: str):
     """Structural parse of one document -> list of record tuples
     (page, line_start, line_end, span_start, span_end, span_text,
     date, vdate, wdr, dep, bal, ref, desc_parts, cells)."""
-    boiler = spec.rx(spec.boiler_rx_combined(bank))
-    anchor = spec.rx(spec.ANCHOR_RX[bank])
+    comb_match = _combined_rx(bank).match
 
     pages = doc.split(spec.PAGE_SEP)
     lines: list[str] = []
     page_of: list[int] = []
-    offs: list[int] = []
-    # offset of line i = sum(len+1 of previous lines); the +1 covers both
-    # '\n' within a page and the '\f' between pages (single-char each).
-    off = 0
     page_line_lists = []
     for pi, page in enumerate(pages):
         pl = page.split(spec.LINE_SEP)
         page_line_lists.append(pl)
         lines.extend(pl)
         page_of.extend([pi + 1] * len(pl))
-        for raw in pl:
-            offs.append(off)
-            off += len(raw) + 1
+    # offset of line i = sum(len+1 of previous lines); the +1 covers both
+    # '\n' within a page and the '\f' between pages (single-char each).
+    offs = list(accumulate(chain((0,), (len(r) + 1 for r in lines))))
 
     if len(pages) >= spec.FREQ_RULE_MIN_PAGES:
-        page_sets = [set(l.strip() for l in pl) for pl in page_line_lists]
+        page_sets = [set(map(str.strip, pl)) for pl in page_line_lists]
         freq = set.intersection(*page_sets)
     else:
-        freq = ()
+        freq = None
 
     # content lines -> transaction groups (running anchor sessionization)
-    boiler_match = boiler.match
-    anchor_match = anchor.match
     groups: list[list[int]] = []
+    anchor_raws: list[str] = []
     append_group = groups.append
+    append_anchor = anchor_raws.append
     for i, raw in enumerate(lines):
-        if boiler_match(raw) or raw.strip() in freq:
-            continue
-        if anchor_match(raw):
+        m = comb_match(raw)
+        if m is not None and m.lastgroup != "A":
+            continue  # boilerplate (regex rule)
+        if freq is not None and raw.strip() in freq:
+            continue  # boilerplate (frequency rule)
+        if m is not None:
             append_group([i])
+            append_anchor(raw)
         elif groups:
             groups[-1].append(i)
 
     seen: set[str] = set()
     records = []
-    if bank != "OCBC" and groups:
-        # D7: fixed SLICES for spec-width layouts, whitespace-gap
-        # inference otherwise (frozen rule in spec.infer_stream_slices)
-        sl = spec.infer_stream_slices([lines[g[0]] for g in groups], bank)
-        cs_ce = sl["description"]
-    else:
-        sl, cs_ce = None, None
-    for g in groups:
-        a = g[0]
-        a_raw = lines[a]
-        if a_raw in seen:  # D11 page-carry dedup, keep first
-            continue
-        seen.add(a_raw)
-        last = g[-1]
-        span_start = offs[a]
-        span_end = offs[last] + len(lines[last].rstrip())
-        span_text = doc[span_start:span_end]
-
-        if bank == "OCBC":
+    append_record = records.append
+    if bank == "OCBC":
+        for g in groups:
+            a = g[0]
+            a_raw = lines[a]
+            if a_raw in seen:  # D11 page-carry dedup, keep first
+                continue
+            seen.add(a_raw)
+            last = g[-1]
+            span_start = offs[a]
+            span_end = offs[last] + len(lines[last].rstrip())
             cells_all = []
             a_cells = {}
             desc_parts = []
@@ -138,29 +162,43 @@ def _parse_doc(doc: str, bank: str):
                     elif name == "description":
                         desc_parts.append(t)
             desc_parts.insert(0, a_cells.get("description", ""))
-            rec = (page_of[a], a, last, span_start, span_end, span_text,
-                   a_cells.get("date"), None,
-                   a_cells.get("withdrawal"), a_cells.get("deposit"),
-                   a_cells.get("balance"), None, desc_parts, cells_all)
-        else:
-            def cut(f):
-                s, e = sl[f]
-                return a_raw[s:e]
-            desc_parts = [cut("description")]
-            desc_parts += [lines[li][cs_ce[0]:cs_ce[1]] for li in g[1:]]
-            if bank == "DBS":
-                wdr, dep = cut("debit"), cut("credit")
-                vdate, ref = cut("value_date"), None
-            elif bank == "HDFC":
-                wdr, dep = cut("withdrawal"), cut("deposit")
-                vdate, ref = cut("value_date"), cut("ref")
-            else:  # UOB
-                wdr, dep = cut("withdrawal"), cut("deposit")
-                vdate, ref = None, None
-            rec = (page_of[a], a, last, span_start, span_end, span_text,
-                   cut("date"), vdate, wdr, dep, cut("balance"), ref,
-                   desc_parts, [])
-        records.append(rec)
+            append_record(
+                (page_of[a], a, last, span_start, span_end,
+                 doc[span_start:span_end], a_cells.get("date"), None,
+                 a_cells.get("withdrawal"), a_cells.get("deposit"),
+                 a_cells.get("balance"), None, desc_parts, cells_all))
+        return records
+
+    if not groups:
+        return records
+    # D7: fixed SLICES for spec-width layouts, whitespace-gap inference
+    # otherwise (frozen rule in spec.infer_stream_slices)
+    sl = spec.infer_stream_slices(anchor_raws, bank)
+    cs, ce = sl["description"]
+    dk, vk, wk, pk, bk, rk = _FIELD_KEYS[bank]
+    d0, d1 = sl[dk]
+    v01 = sl[vk] if vk else None
+    w0, w1 = sl[wk]
+    p0, p1 = sl[pk]
+    b0, b1 = sl[bk]
+    r01 = sl[rk] if rk else None
+    for g in groups:
+        a = g[0]
+        a_raw = lines[a]
+        if a_raw in seen:  # D11 page-carry dedup, keep first
+            continue
+        seen.add(a_raw)
+        last = g[-1]
+        span_start = offs[a]
+        span_end = offs[last] + len(lines[last].rstrip())
+        desc_parts = [a_raw[cs:ce]]
+        desc_parts += [lines[li][cs:ce] for li in g[1:]]
+        append_record(
+            (page_of[a], a, last, span_start, span_end,
+             doc[span_start:span_end], a_raw[d0:d1],
+             a_raw[v01[0]:v01[1]] if v01 else None,
+             a_raw[w0:w1], a_raw[p0:p1], a_raw[b0:b1],
+             a_raw[r01[0]:r01[1]] if r01 else None, desc_parts, []))
     return records
 
 
@@ -173,50 +211,36 @@ def tokenize_records(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     here so spans AND transactions derive from a single scan of the
     corpus: at 100 TB a second raw pass for the HTML branch would be
     the dominant extra cost)."""
+    isna = pd.isna
     for pdf in batches:
-        out = {c: [] for c in _RECORD_COLS}
-        for row in pdf.itertuples(index=False):
-            if row.kind == "HTML":
-                for s in _html_spans(row.doc):
-                    for c in _RECORD_COLS:
-                        out[c].append(None)
-                    n = len(out["conv_id"])
-                    out["conv_id"][n - 1] = row.conv_id
-                    out["turn_idx"][n - 1] = row.turn_idx
-                    out["bank"][n - 1] = "HTML"
-                    out["span_start"][n - 1] = s["span_start"]
-                    out["span_end"][n - 1] = s["span_end"]
-                    out["span_text"][n - 1] = s["text"]
-                    out["desc_parts"][n - 1] = []
-                    out["cells"][n - 1] = []
+        rows: list[tuple] = []
+        append = rows.append
+        for cid, ti, doc, kind, psm, psy, pey in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["doc"], pdf["kind"],
+                pdf["p_start_mon"], pdf["p_start_year"],
+                pdf["p_end_year"]):
+            if kind == "HTML":
+                for s in _html_spans(doc):
+                    append((cid, ti, "HTML", None, None, None,
+                            s["span_start"], s["span_end"], s["text"],
+                            None, None, None, None, None, None, [], [],
+                            None, None, None))
                 continue
-            psm = None if pd.isna(row.p_start_mon) else int(row.p_start_mon)
-            psy = None if pd.isna(row.p_start_year) else int(row.p_start_year)
-            pey = None if pd.isna(row.p_end_year) else int(row.p_end_year)
-            recs = _parse_doc(row.doc, row.kind)
-            for (page, ls, le, ss, se, stext, dte, vd, wdr, dep, bal, ref,
-                 dparts, cells) in recs:
-                out["conv_id"].append(row.conv_id)
-                out["turn_idx"].append(row.turn_idx)
-                out["bank"].append(row.kind)
-                out["page"].append(page)
-                out["line_start"].append(ls)
-                out["line_end"].append(le)
-                out["span_start"].append(ss)
-                out["span_end"].append(se)
-                out["span_text"].append(stext)
-                out["date_cell"].append(dte)
-                out["vdate_cell"].append(vd)
-                out["wdr_cell"].append(wdr)
-                out["dep_cell"].append(dep)
-                out["bal_cell"].append(bal)
-                out["ref_cell"].append(ref)
-                out["desc_parts"].append(dparts)
-                out["cells"].append(cells)
-                out["p_start_mon"].append(psm)
-                out["p_start_year"].append(psy)
-                out["p_end_year"].append(pey)
-        if out["conv_id"]:
-            # empty frames are skipped: all-empty object columns cannot be
-            # Arrow-converted to array<string>/struct types
-            yield pd.DataFrame(out)
+            tail = (None if isna(psm) else int(psm),
+                    None if isna(psy) else int(psy),
+                    None if isna(pey) else int(pey))
+            head = (cid, ti, kind)
+            for rec in _parse_doc(doc, kind):
+                append(head + rec + tail)
+        if rows:
+            # empty frames are skipped: all-empty object columns cannot
+            # be Arrow-converted to array<string>/struct types.
+            # Column-major object arrays, concatenated WITHOUT block
+            # consolidation (a dict ctor would vstack all columns into
+            # one block) — see module docstring for the measurements.
+            series = []
+            for name, col in zip(_RECORD_COLS, zip(*rows)):
+                arr = np.empty(len(col), dtype=object)
+                arr[:] = col
+                series.append(pd.Series(arr, name=name, copy=False))
+            yield pd.concat(series, axis=1, copy=False)

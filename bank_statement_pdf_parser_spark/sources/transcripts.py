@@ -27,9 +27,14 @@ def load_transcripts(spark: SparkSession, path: str) -> DataFrame:
 
 
 def resolved_doc_col(text: Column, tool: Column) -> Column:
-    """S2: tool JSON envelope {"encoding","payload"} wins over text."""
-    payload = F.get_json_object(tool, spec.TOOL_PAYLOAD_JSONPATH)
-    encoding = F.get_json_object(tool, spec.TOOL_ENCODING_JSONPATH)
+    """S2: tool JSON envelope {"encoding","payload"} wins over text.
+
+    ONE from_json parse instead of a get_json_object per field (each
+    get_json_object re-parses the envelope; PERMISSIVE from_json yields
+    the same NULLs for malformed/missing input — cross-checked by the
+    noise-corpus gate p4_noise_reject and the oracle equality suite)."""
+    env = F.from_json(tool, "struct<encoding:string,payload:string>")
+    payload, encoding = env["payload"], env["encoding"]
     return (
         F.when(payload.isNotNull() & (encoding == F.lit("base64")),
                F.decode(F.unbase64(payload), "UTF-8"))
@@ -57,14 +62,20 @@ def with_resolved_payload(df: DataFrame) -> DataFrame:
         .filter(F.col("kind").isNotNull())
     )
     months = F.array(*[F.lit(m) for m in spec.MONTHS])
-    p = lambda g: F.regexp_extract(F.col("doc"), spec.OCBC_PERIOD_RX, g)  # noqa: E731
+    # ONE full-document regex scan (group 0 into a short header string),
+    # then the per-group extracts run over ~40 chars — three full-doc
+    # scans per OCBC turn was a measured 2x overcost in this stage.
+    hdr = F.when(F.col("kind") == "OCBC",
+                 F.regexp_extract(F.col("doc"), spec.OCBC_PERIOD_RX, 0))
+    p = lambda g: F.regexp_extract(F.col("hdr"), spec.OCBC_PERIOD_RX, g)  # noqa: E731
     # Docs without the period header: regexp_extract yields '' and
     # array_position yields 0 — nullif-guard both so the '' -> int cast
     # cannot throw under ANSI mode; normalize.date_from_cell applies the
     # frozen default period (spec.OCBC_DEFAULT_*) to the NULLs, exactly
     # like the oracle's parse_date fallback.
     return (
-        out.withColumn(
+        out.withColumn("hdr", hdr)
+        .withColumn(
             "p_start_mon",
             F.when(F.col("kind") == "OCBC",
                    F.nullif(F.array_position(months, p(2)),
@@ -75,4 +86,5 @@ def with_resolved_payload(df: DataFrame) -> DataFrame:
         .withColumn("p_end_year",
                     F.when(F.col("kind") == "OCBC",
                            F.nullif(p(6), F.lit("")).cast("int")))
+        .drop("hdr")
     )

@@ -88,7 +88,14 @@ def main() -> None:
                                "2" if cpus >= 16 else "1")
     spark = get_spark(app="bench", master=f"local[{cpus}]",
                       shuffle_partitions=max(cpus, 16),
-                      **{"spark.task.cpus": task_cpus})
+                      **{"spark.task.cpus": task_cpus,
+                         # small-file local corpora: split at scan time so
+                         # the tokenizer parallelizes WITHOUT the salt
+                         # repartition (round 4 measured the raw-text
+                         # shuffle at ~35% of the extraction wall; at
+                         # cluster scale the default 128m split gives the
+                         # same effect for free)
+                         "spark.sql.files.maxPartitionBytes": "4m"})
     spark.sparkContext.setLogLevel("ERROR")
 
     syn_path = _synthetic_path(sf)
@@ -104,16 +111,15 @@ def main() -> None:
         busys.setdefault(name, []).append(round(busy, 2))
         return out
 
-    # salt repartition: local bench inputs are one small parquet file /
-    # one post-shuffle AQE partition, so turn-granular salting is what
-    # spreads the tokenizer across all cores (SURVEY.md §4.2).
-    # Tokenizer task granularity: 1 task/core on the default (small)
-    # corpus — finer tasks pay Arrow/Python round-trip overhead there.
-    # On the 10x-larger scaling corpus 3 tasks/core is faster at BOTH
-    # levels (stragglers on skewed multi-page statements stall a whole
-    # core-sized slot; finer tasks also cut busy CPU ~10%), so
-    # BENCH/run_scaling.py sets SPARK_GRAFT_SALT_MULT=3.
-    salt = cpus * int(os.environ.get("SPARK_GRAFT_SALT_MULT", "1"))
+    # Salt repartition (SURVEY.md §4.2) is the SKEW defense, not the
+    # parallelism source: with maxPartitionBytes sized so the scan
+    # itself yields >= cores partitions, repartitioning turns before the
+    # tokenizer just shuffles raw text (measured round 4: ~35% of the
+    # extraction wall at this corpus). Default is therefore NO salt;
+    # SPARK_GRAFT_SALT_MULT>0 re-enables cpus*mult salt partitions for
+    # skewed corpora.
+    mult = int(os.environ.get("SPARK_GRAFT_SALT_MULT", "0"))
+    salt = cpus * mult if mult > 0 else None
 
     tpch_input = os.path.join(REPO, ".cache", "bench",
                               f"tpch_transcripts_{sf}.parquet")
