@@ -905,7 +905,17 @@ def _q_x_fingerprint(spark, sf_dir):
     # spread the HOF-heavy hashing across cores before computing
     docs = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
             .select("doc_id", "text").repartition(16, "doc_id"))
-    fps = winnow_fingerprints(docs, k=8, w=4)
+    # plus one deterministic >=10 KB document (both engines synthesize
+    # the identical string) so the long-document cost class of the
+    # fingerprint plan stays pinned by this gate
+    long_doc = spark.range(1).select(
+        F.lit(100000).cast("long").alias("doc_id"),
+        F.concat_ws("", F.transform(
+            F.sequence(F.lit(0), F.lit(11999)),
+            lambda i: F.char(F.lit(97)
+                             + ((i % 251) * (i % 241) * 31) % 26)))
+        .alias("text"))
+    fps = winnow_fingerprints(docs.unionByName(long_doc), k=8, w=4)
     # fps is array_distinct per doc and there is one row per doc_id, so
     # the exploded (doc_id, fp) rows are already unique — no distinct()
     # shuffle (the oracle needs SELECT DISTINCT because its window scan
@@ -914,7 +924,12 @@ def _q_x_fingerprint(spark, sf_dir):
 
 
 _X_FINGERPRINT_SQL = """
-WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300
+           UNION ALL
+           SELECT CAST(100000 AS BIGINT),
+                  array_to_string(list_transform(range(0, 12000),
+                    i -> chr(CAST(97 + ((i % 251) * (i % 241) * 31) % 26
+                             AS INTEGER))), '')),
 g AS (
   SELECT doc_id, text,
          CAST(unnest(range(length(text) - 7)) AS INTEGER) AS i

@@ -66,20 +66,40 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     fingerprint equi-join finds long overlaps at O(|fps|) per doc —
     never pairwise comparison.
 
-    Documents shorter than k+w-1 chars get an empty set (no window)."""
+    Documents shorter than k+w-1 chars get an empty set (no window).
+
+    Cost shape (round 4): the per-char integer CODES array is staged
+    once per document (one O(len) split+transform pass), and each gram
+    hash is an UNROLLED k-term polynomial over `element_at` integer
+    lookups — O(len*k) integer mul-adds total. The round-3 version
+    instead folded `ascii(text.substr(j,1))` per (gram, position):
+    every substr re-seeks the string from the start (O(i) per call on
+    UTF-8 data), so long documents paid O(len^2*k) string work. A true
+    h[i+1]-from-h[i] rolling recurrence would be O(len), but Catalyst
+    has no sequential-scan/cumulative-array primitive: expressing it
+    needs either an O(len^2) aggregate-with-array-append accumulator
+    (each append copies the array) or a per-char explode + window
+    cumsum (a shuffle of every character — this module's contract is
+    shuffle-free per document). With k=8 the unrolled form is within a
+    small constant of the rolling one and stays whole-plan Catalyst."""
     text = F.col(text_col)
     n_grams = F.length(text) - (k - 1)
     out = df.withColumn("_ng", n_grams)
+    # staged per the HOF rule: referenced by attribute inside lambdas
+    out = out.withColumn(
+        "_codes",
+        F.transform(F.split(text, ""), lambda c: F.ascii(c).cast("long")))
+    codes = F.col("_codes")
+
+    def gram(i):
+        h = F.element_at(codes, i + 1)
+        for j in range(1, k):
+            h = (h * FP_BASE + F.element_at(codes, i + 1 + j)) % FP_MOD
+        return h
+
     hashes = F.when(
         F.col("_ng") >= 1,
-        F.transform(
-            F.sequence(F.lit(0), F.col("_ng") - 1),
-            lambda i: F.aggregate(
-                F.sequence(i, i + (k - 1)),
-                F.lit(0).cast("long"),
-                lambda acc, j: (acc * FP_BASE
-                                + F.ascii(text.substr(j + 1, F.lit(1))))
-                % FP_MOD))) \
+        F.transform(F.sequence(F.lit(0), F.col("_ng") - 1), gram)) \
         .otherwise(F.array().cast("array<long>"))
     out = out.withColumn("_h", hashes)
     h = F.col("_h")
