@@ -728,7 +728,9 @@ def _q_x_ann_ivf(spark, sf_dir):
     nearest-centroid buckets + 1 probe -> candidate join -> exact
     cosine verify. Shifted-copy corpus again: identical vectors share
     their nearest centroid whatever the clustering looks like, so the
-    verified >=0.99 pairs are exactly {(i, i+100000)}."""
+    verified >=0.99 pairs are exactly {(i, i+100000)}. k=64 is a
+    realistic coarse-quantizer size — the centers ride as ONE broadcast
+    array row, so the plan is O(1) in k (round-3 watch-item closed)."""
     _prep(spark)
     from bank_statement_pdf_parser_spark.operators.ann import (
         ann_multiprobe_pairs, ivf_buckets, ivf_fit_centers,
@@ -736,7 +738,7 @@ def _q_x_ann_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = emb.unionByName(
         emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
-    centers = ivf_fit_centers(emb, k=8, seed=7)
+    centers = ivf_fit_centers(emb, k=64, seed=7)
     sig = ivf_buckets(corpus, centers, n_probes=2)
     cand = ann_multiprobe_pairs(sig)
     pairs = verified_cosine_pairs(corpus, cand)

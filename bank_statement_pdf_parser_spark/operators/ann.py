@@ -202,8 +202,8 @@ def ivf_fit_centers(df: DataFrame, vec_col: str = "embedding",
                     sample_frac: float | None = None) -> list[list[float]]:
     """IVF coarse quantizer: fit k-means (pyspark.ml, distributed) on
     the corpus — optionally on a sample, which is how a 100 TB corpus
-    trains its quantizer — and return the centers as plain lists for
-    literal embedding in the assignment expressions."""
+    trains its quantizer — and return the centers as plain lists;
+    `ivf_buckets` ships them as one broadcast data row."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
     train = df if sample_frac is None else df.sample(sample_frac, seed=seed)
@@ -222,17 +222,30 @@ def ivf_buckets(df: DataFrame, centers: list[list[float]],
     (is_probe=true) — the classic IVF nprobe trade-off, expressed so
     `ann_multiprobe_pairs` consumes it unchanged (home x all join).
 
-    The squared distances are staged once as an array column (HOF
-    lambdas re-evaluate referenced array expressions per element)."""
-    def d2(center: list[float]) -> Column:
-        lit = F.array(*[F.lit(x) for x in center])
+    The centers travel as DATA — one broadcast row carrying an
+    array<array<double>> column — not as plan literals: at production
+    k (hundreds to thousands of centroids x dims) literal embedding
+    bloats the plan and analysis time linearly in k*dim, while the
+    broadcast keeps the plan O(1) in k (round-3 VERDICT watch-item).
+    The assignment itself is still shuffle-free: the cross join is a
+    BroadcastNestedLoopJoin of one row, and the squared distances are
+    staged once as an array column (HOF lambdas re-evaluate referenced
+    array expressions per element)."""
+    spark = df.sparkSession
+    centers_df = spark.createDataFrame(
+        [([[float(x) for x in c] for c in centers],)],
+        "_cvecs array<array<double>>")
+
+    def d2(c) -> Column:
         return F.aggregate(
-            F.zip_with(F.col(vec_col), lit,
-                       lambda x, c: (x.cast("double") - c)
-                       * (x.cast("double") - c)),
+            F.zip_with(F.col(vec_col), c,
+                       lambda x, cc: (x.cast("double") - cc)
+                       * (x.cast("double") - cc)),
             F.lit(0.0), lambda acc, v: acc + v)
 
-    out = df.withColumn("_d2", F.array(*[d2(c) for c in centers]))
+    out = (df.crossJoin(F.broadcast(centers_df))
+           .withColumn("_d2", F.transform(F.col("_cvecs"), d2))
+           .drop("_cvecs"))
     dd = F.col("_d2")
     ranked = F.array_sort(F.transform(
         F.sequence(F.lit(0), F.lit(len(centers) - 1)),

@@ -169,20 +169,30 @@ def test_ann_multi_table_recall(spark):
 def test_ann_ivf_recall(spark):
     """IVF: nearest-centroid candidates find most twins; probing the
     second-nearest centroid recovers boundary twins the single-cell
-    assignment splits."""
+    assignment splits. Runs at a small AND a realistic quantizer size,
+    and pins that the plan stays O(1) in k (centers are broadcast
+    data, not plan literals)."""
     from bank_statement_pdf_parser_spark.operators.ann import (
         ann_multiprobe_pairs, ivf_buckets, ivf_fit_centers)
     rows = _twin_corpus()
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    centers = ivf_fit_centers(df, k=8, seed=3)
-    assert len(centers) == 8 and len(centers[0]) == 16
+    fitted = {k: ivf_fit_centers(df, k=k, seed=3) for k in (8, 64)}
+    assert len(fitted[8]) == 8 and len(fitted[8][0]) == 16
+    assert len(fitted[64]) == 64
 
-    def recall(n_probes):
+    def recall(centers, n_probes):
         cand = ann_multiprobe_pairs(ivf_buckets(df, centers,
                                                 n_probes=n_probes))
         return (cand.filter(F.col("b") == F.col("a") + 1000).count()
                 / (len(rows) // 2))
 
-    r1, r2 = recall(1), recall(2)
-    assert r2 >= r1
-    assert r2 >= 0.85
+    for k in (8, 64):
+        r1, r2 = recall(fitted[k], 1), recall(fitted[k], 2)
+        assert r2 >= r1
+        assert r2 >= 0.85, f"k={k}: nprobe=2 recall {r2}"
+
+    plan_len = {
+        k: len(ivf_buckets(df, c, n_probes=2)
+               ._jdf.queryExecution().analyzed().toString())
+        for k, c in fitted.items()}
+    assert plan_len[64] < plan_len[8] * 1.5, plan_len
