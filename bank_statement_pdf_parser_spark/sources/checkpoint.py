@@ -53,10 +53,57 @@ from .transcripts import with_resolved_payload
 
 BUCKET = "bucket"
 
+LINEAGE_DDL = (
+    "run_id string, partition_id int, conv_id_min string, "
+    "conv_id_max string, rows_in long, bytes_in long, rows_out long, "
+    "n_spans long, n_txns long, status string, ts double"
+)
+
 
 def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
     return df.withColumn(
         BUCKET, F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"))
+
+
+class ManifestStore:
+    """Atomic per-partition lineage commits (tmp+rename), shared by the
+    batch sink (partition = conv_id bucket) and the streaming sink
+    (partition = micro-batch id) so stream resume and batch resume
+    read/write the SAME artifact with the SAME schema (LINEAGE_DDL).
+    Re-committing a partition (a replayed micro-batch, a re-run
+    bucket) atomically replaces its manifest — idempotent, never
+    duplicated. On Iceberg this maps to a lineage-table append per
+    snapshot commit."""
+
+    def __init__(self, manifest_dir: str, prefix: str = "bucket"):
+        self.manifest_dir = manifest_dir
+        self.prefix = prefix
+        os.makedirs(manifest_dir, exist_ok=True)
+
+    def committed(self) -> set[int]:
+        out = set()
+        head = f"{self.prefix}-"
+        for f in os.listdir(self.manifest_dir):
+            if f.startswith(head) and f.endswith(".json"):
+                out.add(int(f[len(head):-len(".json")]))
+        return out
+
+    def commit(self, partition_id: int, metrics: dict) -> None:
+        path = os.path.join(self.manifest_dir,
+                            f"{self.prefix}-{partition_id}.json")
+        tmp = path + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(metrics, fh)
+        os.rename(tmp, path)  # atomic commit
+
+    def lineage(self, spark: SparkSession) -> DataFrame:
+        rows = []
+        for b in sorted(self.committed()):
+            path = os.path.join(self.manifest_dir,
+                                f"{self.prefix}-{b}.json")
+            with open(path) as fh:
+                rows.append(json.load(fh))
+        return spark.createDataFrame(rows, LINEAGE_DDL)
 
 
 @dataclass
@@ -76,22 +123,14 @@ class CheckpointedExtract:
         self.buckets_per_job = buckets_per_job
         self.mode = mode
         self.manifest_dir = os.path.join(output_dir, "_manifest")
-        os.makedirs(self.manifest_dir, exist_ok=True)
+        self.store = ManifestStore(self.manifest_dir, prefix="bucket")
 
     # -- manifest helpers ---------------------------------------------------
     def committed_buckets(self) -> set[int]:
-        out = set()
-        for f in os.listdir(self.manifest_dir):
-            if f.startswith("bucket-") and f.endswith(".json"):
-                out.add(int(f[len("bucket-"):-len(".json")]))
-        return out
+        return self.store.committed()
 
     def _commit(self, bucket: int, metrics: dict) -> None:
-        path = os.path.join(self.manifest_dir, f"bucket-{bucket}.json")
-        tmp = path + f".tmp.{os.getpid()}"
-        with open(tmp, "w") as fh:
-            json.dump(metrics, fh)
-        os.rename(tmp, path)  # atomic commit
+        self.store.commit(bucket, metrics)
 
     # -- the job ------------------------------------------------------------
     def run(self, transcripts: DataFrame,
@@ -200,12 +239,4 @@ class CheckpointedExtract:
             os.path.join(self.output_dir, "transactions"))
 
     def lineage(self, spark: SparkSession) -> DataFrame:
-        rows = []
-        for b in sorted(self.committed_buckets()):
-            with open(os.path.join(self.manifest_dir, f"bucket-{b}.json")) as fh:
-                rows.append(json.load(fh))
-        return spark.createDataFrame(
-            rows,
-            "run_id string, partition_id int, conv_id_min string, "
-            "conv_id_max string, rows_in long, bytes_in long, rows_out long, "
-            "n_spans long, n_txns long, status string, ts double")
+        return self.store.lineage(spark)

@@ -8,23 +8,51 @@ Exactly-once output: each micro-batch writes into its own
 `batch_id=N` partition via dynamic-partition overwrite, so a batch
 retried from the checkpoint after a partial write REPLACES its own
 partition instead of appending duplicates.
+
+Lineage: each micro-batch also commits one manifest through the SAME
+`ManifestStore` seam as the batch sink (sources/checkpoint.py) —
+partition_id = batch_id instead of conv_id bucket, schema identical
+(LINEAGE_DDL). The manifest is committed AFTER the batch's output
+partitions, so a crash mid-batch leaves no manifest; the checkpoint
+replays the batch, dynamic overwrite replaces its partitions, and the
+re-commit atomically replaces the manifest — stream resume behaves
+exactly like batch resume, and downstream lineage consumers read one
+schema regardless of which engine wrote it.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import time
+
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..plans.extract import build_spans, build_transactions, build_records
+from ..sources.checkpoint import ManifestStore
 from ..sources.transcripts import with_resolved_payload
 
 
 def process_micro_batch(batch_df: DataFrame, batch_id: int,
-                        output_dir: str) -> None:
+                        output_dir: str,
+                        store: ManifestStore | None = None,
+                        run_id: str = "stream") -> None:
     """One micro-batch -> its own batch_id partition (idempotent on
-    retry: dynamic overwrite replaces exactly this batch's output)."""
+    retry: dynamic overwrite replaces exactly this batch's output).
+    With a ManifestStore, input metrics ride the spans job via
+    df.observe (no extra scan) and output counts come from the freshly
+    committed batch_id partitions (partition-pruned reads), then the
+    batch's manifest is committed atomically."""
     spark = batch_df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    obs = None
+    if store is not None:
+        obs = Observation()
+        batch_df = batch_df.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum(F.length("text")).alias("bytes_in"),
+            F.min("conv_id").alias("cmin"),
+            F.max("conv_id").alias("cmax"))
     turns = with_resolved_payload(batch_df)
     records = build_records(turns, mode="fused")
     (build_spans(turns, records, records_include_html=True)
@@ -35,15 +63,35 @@ def process_micro_batch(batch_df: DataFrame, batch_id: int,
      .withColumn("batch_id", F.lit(int(batch_id)))
      .write.mode("overwrite").partitionBy("batch_id")
      .parquet(f"{output_dir}/transactions"))
+    if store is not None:
+        m_in = obs.get
+        bid = F.col("batch_id") == int(batch_id)
+        n_spans = (spark.read.parquet(f"{output_dir}/spans")
+                   .filter(bid).count())
+        n_txns = (spark.read.parquet(f"{output_dir}/transactions")
+                  .filter(bid).count())
+        store.commit(int(batch_id), {
+            "run_id": run_id, "partition_id": int(batch_id),
+            "conv_id_min": m_in["cmin"], "conv_id_max": m_in["cmax"],
+            "rows_in": int(m_in["rows_in"] or 0),
+            "bytes_in": int(m_in["bytes_in"] or 0),
+            "rows_out": int(n_spans + n_txns),
+            "n_spans": int(n_spans), "n_txns": int(n_txns),
+            "status": "committed", "ts": time.time(),
+        })
 
 
 def extract_stream(transcript_stream: DataFrame, output_dir: str,
-                   checkpoint_dir: str):
+                   checkpoint_dir: str, run_id: str = "stream"):
     """transcript_stream: a streaming DataFrame with the transcripts
-    schema. Returns the started StreamingQuery."""
+    schema. Returns the started StreamingQuery. Lineage manifests are
+    committed per micro-batch under <output_dir>/_manifest (same
+    store/schema as the batch sink)."""
+    store = ManifestStore(f"{output_dir}/_manifest", prefix="batch")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        process_micro_batch(batch_df, batch_id, output_dir)
+        process_micro_batch(batch_df, batch_id, output_dir,
+                            store=store, run_id=run_id)
 
     return (transcript_stream.writeStream
             .option("checkpointLocation", checkpoint_dir)

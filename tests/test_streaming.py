@@ -55,6 +55,64 @@ def test_micro_batch_retry_is_idempotent(spark, transcripts_path, tmp_path):
     assert second == first
 
 
+def test_stream_resume_commits_batch_lineage(spark, transcripts_path,
+                                             tmp_path):
+    """A stopped (killed) stream restarted on the same checkpoint must
+    resume with NO duplicate rows, and every micro-batch must commit a
+    lineage manifest through the same ManifestStore seam as the batch
+    sink — identical schema, atomic replace on replay."""
+    from bank_statement_pdf_parser_spark.sources.checkpoint import (
+        LINEAGE_DDL, ManifestStore)
+    from bank_statement_pdf_parser_spark.streaming.batch_stream import (
+        process_micro_batch)
+    import os
+    schema = spark.read.parquet(transcripts_path).schema
+    full = spark.read.parquet(transcripts_path).limit(240)
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    f1 = full.limit(120)
+    f2 = full.subtract(f1)
+    f1.coalesce(1).write.parquet(f"{src}/f1")
+    for root, _dirs, files in os.walk(f"{src}/f1"):
+        for f in files:
+            os.utime(os.path.join(root, f), (1_000_000_000,) * 2)
+
+    def run_stream():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(f"{src}/*"))
+        q = extract_stream(stream, out, ck)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_stream()                       # batch 0 = f1, then "killed"
+    f2.coalesce(1).write.parquet(f"{src}/f2")
+    run_stream()                       # resume: batch 1 = f2 only
+
+    store = ManifestStore(f"{out}/_manifest", prefix="batch")
+    assert store.committed() == {0, 1}
+    lineage = store.lineage(spark)
+    # identical lineage schema to the batch sink's bucket manifests
+    assert lineage.schema == spark.createDataFrame([], LINEAGE_DDL).schema
+    rows_in = {r.partition_id: r.rows_in for r in lineage.collect()}
+    assert sum(rows_in.values()) == 240
+
+    got = sorted(map(tuple, spark.read.parquet(f"{out}/transactions")
+                     .drop("batch_id").collect()))
+    want = sorted(map(tuple,
+                      extract_all(full).transactions.collect()))
+    assert got == want and got    # resumed, complete, no duplicates
+
+    # a replayed micro-batch (crash after partial write) REPLACES both
+    # its output partition and its manifest
+    process_micro_batch(f2, 1, out, store=store)
+    again = sorted(map(tuple, spark.read.parquet(f"{out}/transactions")
+                       .drop("batch_id").collect()))
+    assert again == want
+    assert store.committed() == {0, 1}
+    assert store.lineage(spark).count() == 2
+
+
 def _write_file(spark, rows, ddl, path, mtime):
     import os
     df = spark.createDataFrame(rows, ddl)
