@@ -1205,6 +1205,76 @@ def _q_w5_frame_agg(spark, sf_dir):
                     F.last("event_type").over(w).alias("last_type")))
 
 
+def _q_x_asof_join(spark, sf_dir):
+    """J5 as-of join (SURVEY §2.5, implemented round 4): every purchase
+    event gets the most recent signup (same user, signup.ts <=
+    purchase.ts, inclusive) via the union-and-window composition —
+    one shuffle on user_id, no join node. DuckDB verifies with its
+    NATIVE ASOF LEFT JOIN."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.joins import asof_join
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts")
+    right = (ev.filter(F.col("event_type") == "signup")
+             .groupBy("user_id", "ts")
+             .agg(F.max("event_id").alias("s_id"),
+                  F.max_by("value", "event_id").alias("s_value")))
+    out = asof_join(left, right, on="user_id", ts_col="ts",
+                    right_cols=("s_id", "s_value"))
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return out.select(
+        "p_id", "user_id",
+        us("ts").alias("p_us"),
+        F.col("r_s_id").alias("s_id"),
+        F.col("r_s_value").alias("s_value"),
+        (us("ts") - us("r_ts")).alias("gap_us"))
+
+
+_X_ASOF_SQL = """
+WITH l AS (SELECT event_id AS p_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+r AS (SELECT user_id, ts, max(event_id) AS s_id,
+             arg_max(value, event_id) AS s_value
+      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)
+SELECT l.p_id, l.user_id, epoch_us(l.ts) AS p_us, r.s_id, r.s_value,
+       epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def _q_x_range_join(spark, sf_dir):
+    """J5 range join (SURVEY §2.5, implemented round 4): purchases
+    falling inside [error.ts, error.ts + 1h) per error event, via the
+    epoch-bucket equi-join (each interval explodes into <= 2 buckets;
+    never the all-pairs inequality compare). DuckDB verifies with the
+    plain inequality join — same semantics, oracle-scale plan."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.joins import range_join
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("t1"))
+    pts = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "ts",
+        F.col("value").alias("p_value"))
+    out = range_join(iv, pts, bucket_s=3600)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return out.select(
+        "err_id", "p_id", "p_value",
+        (us("ts") - us("t0")).alias("off_us"))
+
+
+_X_RANGE_SQL = """
+SELECT e.event_id AS err_id, p.event_id AS p_id, p.value AS p_value,
+       epoch_us(p.ts) - epoch_us(e.ts) AS off_us
+FROM events e JOIN events p
+  ON p.ts >= e.ts AND p.ts < e.ts + INTERVAL 1 HOUR
+WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_extract_transactions": _flagship_transactions,
@@ -1264,6 +1334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_audio_stats": _q_x_audio_stats,
         "x_video_frames": _q_x_video_frames,
         "x_binary_checksum": _q_x_binary_checksum,
+        "x_asof_join": _q_x_asof_join,
+        "x_range_join": _q_x_range_join,
     }
 
 
@@ -1474,6 +1546,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(list_aggregate(list_transform(toks, x -> length(x)), "
             "'sum') AS BIGINT) AS sum_token_len FROM s"),
         "x_fingerprint": _X_FINGERPRINT_SQL,
+        "x_asof_join": _X_ASOF_SQL,
+        "x_range_join": _X_RANGE_SQL,
         "x_image_stats": _X_IMAGE_STATS_SQL,
         "x_audio_stats": _X_AUDIO_STATS_SQL,
         "x_video_frames": _X_VIDEO_FRAMES_SQL,

@@ -1,0 +1,70 @@
+"""As-of / range join operators (SURVEY.md §2.5 J5): frozen edge
+semantics — inclusive as-of ties, left-join NULLs for unmatched rows,
+half-open [t0, t1) ranges, bucket-boundary points — plus the plan
+shape (no cross/nested-loop join in the range plan)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from bank_statement_pdf_parser_spark.operators.joins import (asof_join,
+                                                             range_join)
+
+T0 = dt.datetime(2026, 1, 5, 12, 0, 0)
+
+
+def _ts(s):
+    return T0 + dt.timedelta(seconds=s)
+
+
+def test_asof_inclusive_latest_and_unmatched(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(100)),   # matches r at 100 (tie -> inclusive)
+         (2, 10, _ts(250)),   # matches r at 200, not 100
+         (3, 10, _ts(50)),    # before any right row -> NULLs
+         (4, 11, _ts(500))],  # user with no right rows -> NULLs
+        "l_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, _ts(100), 7.0), (10, _ts(200), 8.0), (12, _ts(1), 9.0)],
+        "user_id long, ts timestamp, v double")
+    out = {r.l_id: r for r in
+           asof_join(left, right, on="user_id", ts_col="ts",
+                     right_cols=("v",)).collect()}
+    assert out[1].r_ts == _ts(100) and out[1].r_v == 7.0
+    assert out[2].r_ts == _ts(200) and out[2].r_v == 8.0
+    assert out[3].r_ts is None and out[3].r_v is None
+    assert out[4].r_ts is None and out[4].r_v is None
+    assert len(out) == 4  # every left row survives exactly once
+
+
+def test_range_join_half_open_and_boundaries(spark):
+    iv = spark.createDataFrame(
+        [(1, _ts(0), _ts(3600)),        # [0, 3600)
+         (2, _ts(3600), _ts(7200))],    # [3600, 7200) — adjacent
+        "iv_id long, t0 timestamp, t1 timestamp")
+    pts = spark.createDataFrame(
+        [(10, _ts(0)),      # t0 inclusive -> iv 1
+         (11, _ts(3599)),   # inside iv 1
+         (12, _ts(3600)),   # t1 EXCLUSIVE for iv 1, t0 inclusive iv 2
+         (13, _ts(7200)),   # outside both
+         (14, _ts(5000))],  # iv 2, crosses the point's own bucket
+        "p_id long, ts timestamp")
+    got = {(r.iv_id, r.p_id) for r in
+           range_join(iv, pts, bucket_s=3600).collect()}
+    assert got == {(1, 10), (1, 11), (2, 12), (2, 14)}
+    # interval spanning multiple buckets still finds far points
+    wide = spark.createDataFrame([(9, _ts(0), _ts(90000))],
+                                 "iv_id long, t0 timestamp, t1 timestamp")
+    got2 = {(r.iv_id, r.p_id) for r in
+            range_join(wide, pts, bucket_s=3600).collect()}
+    assert got2 == {(9, 10), (9, 11), (9, 12), (9, 13), (9, 14)}
+
+
+def test_range_join_plan_has_no_nested_loop(spark):
+    iv = spark.createDataFrame([(1, _ts(0), _ts(3600))],
+                               "iv_id long, t0 timestamp, t1 timestamp")
+    pts = spark.createDataFrame([(10, _ts(5))], "p_id long, ts timestamp")
+    plan = range_join(iv, pts)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
