@@ -108,6 +108,19 @@ class ManifestStore:
         return spark.createDataFrame(rows, LINEAGE_DDL)
 
 
+def _obs_result(observation, fallback):
+    """Observation.get, robust to the AQE empty-relation caveat (see
+    ann.py): when a downstream exchange materializes EMPTY, adaptive
+    re-planning prunes the subtree including the CollectMetrics node,
+    and .get raises even though the stage ran. Only possible when the
+    observed job produced no rows at all, so `fallback()` recomputes
+    (or zero-fills) for that rare case."""
+    try:
+        return observation.get
+    except Exception:
+        return fallback()
+
+
 @dataclass
 class RunResult:
     run_id: str
@@ -197,10 +210,19 @@ class CheckpointedExtract:
             turns = with_resolved_payload(gobs.drop(BUCKET))
             records = build_records(turns, mode=self.mode, probe=probe)
             write_bucketed(records, records_dir)
-            m_in = obs.get
+            # empty group (zero extractable records): one extra input
+            # scan re-derives the true input metrics
+            m_in = _obs_result(
+                obs, lambda: gsrc.agg(*aggs).first().asDict())
 
-            # 2) spans + transactions from the staged records (no raw text)
-            staged = (spark.read.parquet(records_dir)
+            # 2) spans + transactions from the staged records (no raw
+            # text). Explicit schema: skips inference listing, and an
+            # all-empty group writes no files to infer from.
+            from ..operators.tokenize import RECORDS_DDL
+            os.makedirs(records_dir, exist_ok=True)
+            staged = (spark.read
+                      .schema(f"{RECORDS_DDL}, {BUCKET} int")
+                      .parquet(records_dir)
                       .filter(F.col(BUCKET).isin(group)).drop(BUCKET))
             if self.mode == "fused":
                 spans = build_spans(None, staged, records_include_html=True)
@@ -226,7 +248,9 @@ class CheckpointedExtract:
                 (bucketed.repartition(self.n_buckets, BUCKET)
                  .write.mode("overwrite").partitionBy(BUCKET)
                  .parquet(path))
-                return o.get
+                # metrics can only be missing when the job wrote no
+                # rows at all -> every bucket's count is truly 0
+                return _obs_result(o, lambda: {str(b): 0 for b in group})
 
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(max_workers=2) as pool:

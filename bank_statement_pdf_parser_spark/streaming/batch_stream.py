@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..plans.extract import build_spans, build_transactions, build_records
-from ..sources.checkpoint import ManifestStore
+from ..sources.checkpoint import ManifestStore, _obs_result
 from ..sources.transcripts import with_resolved_payload
 
 
@@ -44,15 +44,14 @@ def process_micro_batch(batch_df: DataFrame, batch_id: int,
     batch's manifest is committed atomically."""
     spark = batch_df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    obs = None
+    obs, raw_batch = None, batch_df
+    in_aggs = [F.count(F.lit(1)).alias("rows_in"),
+               F.sum(F.length("text")).alias("bytes_in"),
+               F.min("conv_id").alias("cmin"),
+               F.max("conv_id").alias("cmax")]
     if store is not None:
         obs = Observation()
-        batch_df = batch_df.observe(
-            obs,
-            F.count(F.lit(1)).alias("rows_in"),
-            F.sum(F.length("text")).alias("bytes_in"),
-            F.min("conv_id").alias("cmin"),
-            F.max("conv_id").alias("cmax"))
+        batch_df = batch_df.observe(obs, *in_aggs)
     turns = with_resolved_payload(batch_df)
     records = build_records(turns, mode="fused")
     (build_spans(turns, records, records_include_html=True)
@@ -64,11 +63,21 @@ def process_micro_batch(batch_df: DataFrame, batch_id: int,
      .write.mode("overwrite").partitionBy("batch_id")
      .parquet(f"{output_dir}/transactions"))
     if store is not None:
-        m_in = obs.get
+        # AQE empty-relation caveat (sources/checkpoint._obs_result):
+        # an empty micro-batch prunes the CollectMetrics node
+        m_in = _obs_result(
+            obs, lambda: raw_batch.agg(*in_aggs).first().asDict())
+        from .. import spec
         bid = F.col("batch_id") == int(batch_id)
-        n_spans = (spark.read.parquet(f"{output_dir}/spans")
+        # explicit schemas: an all-empty first batch writes no files
+        # to infer from
+        n_spans = (spark.read
+                   .schema(f"{spec.SPANS_DDL}, batch_id int")
+                   .parquet(f"{output_dir}/spans")
                    .filter(bid).count())
-        n_txns = (spark.read.parquet(f"{output_dir}/transactions")
+        n_txns = (spark.read
+                  .schema(f"{spec.TRANSACTIONS_DDL}, batch_id int")
+                  .parquet(f"{output_dir}/transactions")
                   .filter(bid).count())
         store.commit(int(batch_id), {
             "run_id": run_id, "partition_id": int(batch_id),

@@ -66,3 +66,24 @@ def test_second_run_is_noop(spark, transcripts_path, tmp_path):
     assert r2.buckets_done == []
     assert sorted(r2.buckets_skipped) == [0, 1, 2, 3]
     assert ck.spans(spark).count() == n1
+
+
+def test_empty_group_commits_true_metrics(spark, tmp_path):
+    """A bucket group whose turns yield ZERO records must still commit
+    manifests with the TRUE input metrics (AQE empty-relation pruning
+    removes the CollectMetrics node on the empty write — the
+    _obs_result fallback re-derives rows_in/bytes_in instead of
+    crashing or zero-filling them)."""
+    rows = [(f"c{i}", 0, "user", "no bank signature here", None, None)
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    ck = CheckpointedExtract(str(tmp_path / "out"), "r", 8, 8)
+    res = ck.run(df)
+    assert len(res.metrics) == 8
+    assert sum(m["rows_in"] for m in res.metrics) == 40
+    assert sum(m["bytes_in"] for m in res.metrics) == 40 * len(
+        "no bank signature here")
+    assert sum(m["rows_out"] for m in res.metrics) == 0
+    assert ck.committed_buckets() == set(range(8))

@@ -208,3 +208,19 @@ def test_windowed_metrics_drop_late_rows(spark, tmp_path):
     # the late row 'e' (same 10:00 window) must NOT be counted, and the
     # closed window must have been emitted exactly once per role
     assert day1 == [("assistant", 1, 10), ("user", 2, 20)]
+
+
+def test_empty_micro_batch_commits_zero_lineage(spark, tmp_path):
+    """An empty micro-batch must still commit its manifest (zeros) —
+    the AQE empty-relation caveat prunes the CollectMetrics node and
+    the first batch writes no parquet files to infer schema from."""
+    from bank_statement_pdf_parser_spark.sources.checkpoint import (
+        ManifestStore)
+    from bank_statement_pdf_parser_spark.streaming.batch_stream import (
+        process_micro_batch)
+    empty = spark.createDataFrame([], spec.TRANSCRIPTS_DDL)
+    store = ManifestStore(str(tmp_path / "_manifest"), prefix="batch")
+    process_micro_batch(empty, 0, str(tmp_path / "out"), store=store)
+    [m] = store.lineage(spark).collect()
+    assert (m.partition_id, m.rows_in, m.rows_out) == (0, 0, 0)
+    assert m.conv_id_min is None and m.conv_id_max is None
