@@ -68,3 +68,57 @@ def test_range_join_plan_has_no_nested_loop(spark):
     pts = spark.createDataFrame([(10, _ts(5))], "p_id long, ts timestamp")
     plan = range_join(iv, pts)._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_asof_and_range_match_python_mirror_randomized(spark):
+    """Seeded random corpora vs plain-Python mirrors: the window
+    composition and the bucket join must reproduce brute-force as-of /
+    range semantics exactly (including forced ts ties and multi-bucket
+    intervals)."""
+    import random
+    for seed in (1, 7, 23):
+        rng = random.Random(seed)
+        right = {}
+        for i in range(150):
+            u, s = rng.randrange(8), rng.randrange(0, 100_000)
+            right[(u, s)] = (1000 + i, rng.random())  # unique (u, ts)
+        r_rows = [(u, _ts(s), rid, v)
+                  for (u, s), (rid, v) in sorted(right.items())]
+        left = []
+        for i in range(200):
+            u = rng.randrange(9)  # user 8: never has right rows
+            if right and rng.random() < 0.2:
+                ru, rs = rng.choice(sorted(right))
+                u, s = ru, rs  # forced tie -> inclusive match
+            else:
+                s = rng.randrange(0, 100_000)
+            left.append((i, u, s))
+
+        ldf = spark.createDataFrame([(i, u, _ts(s)) for i, u, s in left],
+                                    "l_id long, user_id long, ts timestamp")
+        rdf = spark.createDataFrame(
+            r_rows, "user_id long, ts timestamp, r_id long, v double")
+        got = {r.l_id: (r.r_r_id, r.r_v) for r in
+               asof_join(ldf, rdf, on="user_id", ts_col="ts",
+                         right_cols=("r_id", "v")).collect()}
+        for i, u, s in left:
+            cands = [(rs, rv) for (ru, rs), rv in right.items()
+                     if ru == u and rs <= s]
+            want = (max(cands)[1] if cands else (None, None))
+            assert got[i] == (want[0], want[1]), (seed, i)
+
+        # range: every left row becomes an interval of random width
+        iv = [(i, s, s + rng.randrange(1, 9000)) for i, _u, s in left[:60]]
+        ivdf = spark.createDataFrame(
+            [(i, _ts(a), _ts(b)) for i, a, b in iv],
+            "iv_id long, t0 timestamp, t1 timestamp")
+        pdf = spark.createDataFrame(
+            [(rid, _ts(rs)) for (_u, rs), (rid, _v) in right.items()],
+            "p_id long, ts timestamp")
+        got_pairs = {(r.iv_id, r.p_id) for r in
+                     range_join(ivdf, pdf, bucket_s=3600).collect()}
+        want_pairs = {(i, rid)
+                      for i, a, b in iv
+                      for (_u, rs), (rid, _v) in right.items()
+                      if a <= rs < b}
+        assert got_pairs == want_pairs, seed
