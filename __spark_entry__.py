@@ -1275,6 +1275,58 @@ WHERE e.event_type = 'error' AND p.event_type = 'purchase'
 """
 
 
+def _q_x_stream_assemble(spark, sf_dir):
+    """Stateful streaming turn assembler (applyInPandasWithState) under
+    the DuckDB gate: each document's text is split into 3 character
+    chunks SCATTERED across 3 micro-batch files ((doc_id + chunk_idx)
+    mod 3, so most turns need cross-batch GroupState), streamed through
+    assemble_turns, and the assembled text must equal the original
+    document byte-for-byte — the oracle is simply the documents table."""
+    _prep(spark)
+    import tempfile
+    from bank_statement_pdf_parser_spark.streaming.assembler import (
+        CHUNKS_DDL, assemble_turns)
+    docs = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+            .select("doc_id", "text"))
+    third = (F.length("text") + 2 - ((F.length("text") + 2) % 3)) / 3
+    clen = third.cast("int")
+    chunks = (docs.select(
+        "doc_id", "text", clen.alias("clen"),
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("ci"))
+        .select(
+            F.concat(F.lit("doc-"), F.col("doc_id")).alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.col("ci").cast("int").alias("chunk_idx"),
+            F.lit(3).cast("int").alias("n_chunks"),
+            F.substring("text", F.col("ci") * F.col("clen") + 1,
+                        F.col("clen")).alias("chunk"),
+            F.lit(None).cast("string").alias("tool"),
+            F.lit("2026-01-05 10:00:00").cast("timestamp").alias("ts"),
+            F.pmod(F.col("doc_id") + F.col("ci"), F.lit(3)).alias("f")))
+    tmp = tempfile.mkdtemp(prefix="x-stream-assemble-")
+    for f in range(3):
+        (chunks.filter(F.col("f") == f).drop("f").coalesce(1)
+         .write.parquet(f"{tmp}/src/f{f}"))
+    stream = (spark.readStream.schema(CHUNKS_DDL)
+              .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/src/*"))
+    q = (assemble_turns(stream, timeout_ms=None)
+         .writeStream.format("memory").queryName("x_stream_assemble")
+         .outputMode("append")
+         .option("checkpointLocation", f"{tmp}/ck").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (spark.sql("SELECT * FROM x_stream_assemble")
+            .select(F.regexp_replace("conv_id", "^doc-", "")
+                    .cast("long").alias("doc_id"), "text"))
+
+
+_X_STREAM_ASSEMBLE_SQL = (
+    "SELECT doc_id, text FROM documents WHERE doc_id < 100")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_extract_transactions": _flagship_transactions,
@@ -1336,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_binary_checksum": _q_x_binary_checksum,
         "x_asof_join": _q_x_asof_join,
         "x_range_join": _q_x_range_join,
+        "x_stream_assemble": _q_x_stream_assemble,
     }
 
 
@@ -1548,6 +1601,7 @@ def oracle_sql() -> dict[str, str]:
         "x_fingerprint": _X_FINGERPRINT_SQL,
         "x_asof_join": _X_ASOF_SQL,
         "x_range_join": _X_RANGE_SQL,
+        "x_stream_assemble": _X_STREAM_ASSEMBLE_SQL,
         "x_image_stats": _X_IMAGE_STATS_SQL,
         "x_audio_stats": _X_AUDIO_STATS_SQL,
         "x_video_frames": _X_VIDEO_FRAMES_SQL,
