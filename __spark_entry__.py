@@ -1327,6 +1327,61 @@ _X_STREAM_ASSEMBLE_SQL = (
     "SELECT doc_id, text FROM documents WHERE doc_id < 100")
 
 
+def _q_x_pivot(spark, sf_dir):
+    """Pivot (long -> wide conditional aggregation): per-user event
+    value totals by event_type. Sums run in decimal(18,2) so the hash
+    comparison is exact regardless of either engine's addition order."""
+    _prep(spark)
+    dec = F.col("value").cast("decimal(18,2)")
+    return (_t(spark, sf_dir, "events")
+            .withColumn("v", dec)
+            .groupBy("user_id")
+            .pivot("event_type", ["signup", "purchase", "error"])
+            .agg(F.coalesce(F.sum("v"), F.lit(0).cast("decimal(18,2)"))
+                 # decimal keeps the SUM exact in any addition order;
+                 # double on the way out matches DuckDB's float64 fetch
+                 .cast("double"))
+            .withColumnsRenamed({"signup": "v_signup",
+                                 "purchase": "v_purchase",
+                                 "error": "v_error"}))
+
+
+_X_PIVOT_SQL = """
+SELECT user_id,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'signup'
+                         THEN CAST(value AS DECIMAL(18,2)) END),
+                CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS v_signup,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(18,2)) END),
+                CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS v_purchase,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'error'
+                         THEN CAST(value AS DECIMAL(18,2)) END),
+                CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS v_error
+FROM events GROUP BY user_id
+"""
+
+
+def _q_x_cube(spark, sf_dir):
+    """CUBE aggregate (all grouping-set combinations) with grouping_id
+    to disambiguate the NULL rollup rows; decimal-exact sums."""
+    _prep(spark)
+    return (_t(spark, sf_dir, "events")
+            .withColumn("v", F.col("value").cast("decimal(18,2)"))
+            .withColumn("par", (F.col("user_id") % 2).cast("int"))
+            .cube("event_type", "par")
+            .agg(F.count("*").alias("n"),
+                 F.sum("v").cast("double").alias("total"),
+                 F.grouping_id().alias("gid")))
+
+
+_X_CUBE_SQL = """
+SELECT event_type, CAST(user_id % 2 AS INTEGER) AS par,
+       count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       GROUPING(event_type) * 2 + GROUPING(user_id % 2) AS gid
+FROM events GROUP BY CUBE (event_type, user_id % 2)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_extract_transactions": _flagship_transactions,
@@ -1389,6 +1444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_asof_join": _q_x_asof_join,
         "x_range_join": _q_x_range_join,
         "x_stream_assemble": _q_x_stream_assemble,
+        "x_pivot": _q_x_pivot,
+        "x_cube": _q_x_cube,
     }
 
 
@@ -1602,6 +1659,8 @@ def oracle_sql() -> dict[str, str]:
         "x_asof_join": _X_ASOF_SQL,
         "x_range_join": _X_RANGE_SQL,
         "x_stream_assemble": _X_STREAM_ASSEMBLE_SQL,
+        "x_pivot": _X_PIVOT_SQL,
+        "x_cube": _X_CUBE_SQL,
         "x_image_stats": _X_IMAGE_STATS_SQL,
         "x_audio_stats": _X_AUDIO_STATS_SQL,
         "x_video_frames": _X_VIDEO_FRAMES_SQL,
