@@ -1,0 +1,33 @@
+"""Streaming deduplication for transcript ingest (training-data
+pipelines: at-least-once upstreams re-deliver turns; exact dedup must
+happen BEFORE extraction so duplicate documents never reach the
+tokenizer).
+
+`dedup_turns` uses `dropDuplicatesWithinWatermark`: state holds one
+entry per key only until the event-time watermark passes `within`, so
+state is bounded by (arrival rate x window), not stream length — the
+only viable shape at 10^12 turns. Keys on (conv_id, turn_idx) by
+default (a redelivered turn is the same logical row); `by_content=True`
+keys on the xxhash64 of the text instead (cross-conversation exact
+content dedup, the streaming analogue of neardup.exact_dedup — note
+this drops ALL BUT THE FIRST conversation carrying a given text within
+the window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_turns(stream: DataFrame, within: str = "1 hour",
+                by_content: bool = False) -> DataFrame:
+    """stream: streaming DataFrame with the transcripts schema (must
+    carry the `ts` event-time column). Returns the stream with
+    duplicates within the watermark horizon dropped (first delivery
+    wins)."""
+    wm = stream.withWatermark("ts", within)
+    if by_content:
+        keyed = wm.withColumn("_k", F.xxhash64("text"))
+        return keyed.dropDuplicatesWithinWatermark(["_k"]).drop("_k")
+    return wm.dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])

@@ -224,3 +224,48 @@ def test_empty_micro_batch_commits_zero_lineage(spark, tmp_path):
     [m] = store.lineage(spark).collect()
     assert (m.partition_id, m.rows_in, m.rows_out) == (0, 0, 0)
     assert m.conv_id_min is None and m.conv_id_max is None
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a turn re-delivered in a LATER
+    micro-batch (at-least-once upstream) is dropped while inside the
+    watermark horizon; distinct turns all pass; content-keyed mode
+    collapses identical text across conversations."""
+    from bank_statement_pdf_parser_spark.streaming.dedup_stream import (
+        dedup_turns)
+    import datetime as dt
+    t = dt.datetime(2026, 1, 5, 10, 0, 0)
+
+    def turn(conv, idx, text, secs=0):
+        return (conv, idx, "user", text, None,
+                t + dt.timedelta(seconds=secs))
+
+    f1 = [turn("a", 0, "hello"), turn("b", 0, "world", 5)]
+    f2 = [turn("a", 0, "hello"),          # redelivery: drop
+          turn("a", 1, "next", 10),       # new turn: keep
+          turn("c", 0, "world", 15)]      # same text, new conv: keep
+    src = str(tmp_path / "turns")
+    _write_file(spark, f1, spec.TRANSCRIPTS_DDL, f"{src}/f1", 1_000_000_000)
+    _write_file(spark, f2, spec.TRANSCRIPTS_DDL, f"{src}/f2", 1_000_000_001)
+
+    def run(name, **kw):
+        stream = (spark.readStream.schema(spec.TRANSCRIPTS_DDL)
+                  .option("maxFilesPerTrigger", 1).parquet(f"{src}/*"))
+        q = (dedup_turns(stream, **kw)
+             .writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return sorted((r.conv_id, r.turn_idx, r.text)
+                      for r in spark.sql(f"SELECT * FROM {name}").collect())
+
+    assert run("dedup_key") == [
+        ("a", 0, "hello"), ("a", 1, "next"),
+        ("b", 0, "world"), ("c", 0, "world")]
+    # content-keyed: "world" from conv c duplicates conv b's text
+    assert run("dedup_content", by_content=True) == [
+        ("a", 0, "hello"), ("a", 1, "next"), ("b", 0, "world")]
