@@ -277,6 +277,68 @@ class CheckpointedExtract:
         return RunResult(self.run_id, [b for g in groups for b in g],
                          sorted(done), metrics_all)
 
+    # -- maintenance --------------------------------------------------------
+    def compact(self, spark: SparkSession, dataset: str = "transactions",
+                target_bytes: int = 128 << 20) -> dict[int, tuple[int, int]]:
+        """Small-file maintenance — the Iceberg `rewrite_data_files`
+        action expressed on the parquet seam. Long-running ingest
+        (streaming micro-batches, many bucket groups, retries) accretes
+        small files; this rewrites each bucket partition into
+        ceil(partition_bytes / target_bytes) files sized for scan
+        efficiency.
+
+        The per-bucket file counts come from the ACTUAL on-disk sizes;
+        the rewrite is one job (repartition on (bucket, slice) where
+        slice = xxhash64 pmod the bucket's file budget) into a staging
+        directory, then a directory swap. The swap is the non-atomic
+        seam (two renames); on Iceberg the same action is a snapshot
+        commit. A leftover `.compacting`/`.old` dir from a crash is
+        removed on the next call — committed data is never the staging
+        copy until the swap completes. Returns
+        {bucket: (files_before, files_after)}."""
+        data_dir = os.path.join(self.output_dir, dataset)
+        staging, old = data_dir + ".compacting", data_dir + ".old"
+        import shutil
+        for leftover in (staging, old):
+            if os.path.exists(leftover):
+                shutil.rmtree(leftover)
+
+        sizes: dict[int, int] = {}
+        files_before: dict[int, int] = {}
+        for name in os.listdir(data_dir):
+            if not name.startswith(f"{BUCKET}="):
+                continue
+            b = int(name.split("=")[1])
+            bdir = os.path.join(data_dir, name)
+            parts = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+            files_before[b] = len(parts)
+            sizes[b] = sum(os.path.getsize(os.path.join(bdir, f))
+                           for f in parts)
+        budget = {b: max(1, -(-sz // target_bytes))
+                  for b, sz in sizes.items()}
+
+        df = spark.read.parquet(data_dir)
+        slice_map = F.create_map(
+            *[x for b, n in budget.items()
+              for x in (F.lit(b), F.lit(n))])
+        slice_col = F.pmod(F.xxhash64(*[c for c in df.columns
+                                        if c != BUCKET]),
+                           slice_map[F.col(BUCKET)])
+        (df.withColumn("_slice", slice_col)
+         .repartition(sum(budget.values()), BUCKET, "_slice")
+         .drop("_slice")
+         .write.partitionBy(BUCKET).parquet(staging))
+        os.rename(data_dir, old)
+        os.rename(staging, data_dir)
+        shutil.rmtree(old)
+
+        files_after = {}
+        for b in files_before:
+            bdir = os.path.join(data_dir, f"{BUCKET}={b}")
+            files_after[b] = len([f for f in os.listdir(bdir)
+                                  if f.endswith(".parquet")])
+        return {b: (files_before[b], files_after[b]) for b in files_before}
+
     # -- outputs ------------------------------------------------------------
     def spans(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.output_dir, "spans"))

@@ -87,3 +87,38 @@ def test_empty_group_commits_true_metrics(spark, tmp_path):
         "no bank signature here")
     assert sum(m["rows_out"] for m in res.metrics) == 0
     assert ck.committed_buckets() == set(range(8))
+
+
+def test_compact_rewrites_small_files_losslessly(spark, transcripts_path,
+                                                 tmp_path):
+    """compact(): many small files per bucket partition are rewritten
+    into the per-bucket byte budget; the row multiset is unchanged and
+    a leftover staging dir from a crashed compaction is cleaned up."""
+    import os
+    from pyspark.sql import functions as F
+    out = str(tmp_path / "out")
+    ck = CheckpointedExtract(out, "r", 4, 4)
+    ck.run(spark.read.parquet(transcripts_path).limit(200))
+    txns_dir = f"{out}/transactions"
+    before = sorted(map(tuple, spark.read.parquet(txns_dir).collect()))
+    assert before
+
+    # fragment: rewrite every bucket partition as many tiny files
+    frag = (spark.read.parquet(txns_dir)
+            .repartition(40).write.mode("overwrite")
+            .partitionBy("bucket"))
+    frag.parquet(txns_dir + ".frag")
+    import shutil
+    shutil.rmtree(txns_dir)
+    os.rename(txns_dir + ".frag", txns_dir)
+    os.makedirs(txns_dir + ".compacting")  # crashed-compaction leftover
+
+    report = ck.compact(spark, "transactions", target_bytes=1 << 30)
+    after = sorted(map(tuple, spark.read.parquet(txns_dir).collect()))
+    assert after == before
+    assert not os.path.exists(txns_dir + ".compacting")
+    assert not os.path.exists(txns_dir + ".old")
+    for b, (n_before, n_after) in report.items():
+        assert n_after <= n_before
+        assert n_after == 1  # 1 GiB budget -> one file per bucket
+    assert sum(n for n, _ in report.values()) > len(report)  # was fragmented
