@@ -179,6 +179,20 @@ def main() -> None:
         for name, thunk in suite:
             timed(name, thunk)
 
+    # informational extra (NOT in the headline sum, keys unchanged):
+    # a consumer wanting BOTH outputs submits the two count jobs
+    # concurrently — the scheduler interleaves their stages, so the
+    # wall is well under 2x one pass (the sink exploits the same)
+    from concurrent.futures import ThreadPoolExecutor
+    conc = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            a = pool.submit(syn_out.transactions.count)
+            b = pool.submit(syn_out.spans.count)
+            a.result(), b.result()
+        conc.append(round(time.perf_counter() - t0, 3))
+
     # headline = best-of-k per query: under one-sided hypervisor noise
     # the minimum is the estimate closest to the undisturbed engine
     best = {name: min(ws) for name, ws in walls.items()}
@@ -219,6 +233,7 @@ def main() -> None:
                               + counts["extract_synthetic"]),
         "cpus": cpus,
         "repeats": repeats,
+        "extract_synthetic_concurrent_sec": min(conc),
         "aggregation": "best-of-k per query, interleaved passes",
         "host_noise": host_noise,
         "detail": detail,
