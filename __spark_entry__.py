@@ -1318,6 +1318,10 @@ def _q_x_stream_assemble(spark, sf_dir):
         q.processAllAvailable()
     finally:
         q.stop()
+    # the memory sink holds the rows; the staging corpus + checkpoint
+    # are no longer needed
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
     return (spark.sql("SELECT * FROM x_stream_assemble")
             .select(F.regexp_replace("conv_id", "^doc-", "")
                     .cast("long").alias("doc_id"), "text"))

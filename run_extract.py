@@ -26,6 +26,10 @@ def main() -> None:
     ap.add_argument("--buckets-per-job", type=int, default=4)
     ap.add_argument("--mode", default="fused", choices=["fused", "relational"])
     ap.add_argument("--master", default=None)
+    ap.add_argument("--compact-mb", type=int, default=None,
+                    help="after the run, rewrite spans/transactions "
+                         "bucket partitions into files of ~this many "
+                         "MiB (small-file maintenance)")
     args = ap.parse_args()
 
     from bank_statement_pdf_parser_spark.session import get_spark
@@ -38,11 +42,19 @@ def main() -> None:
     ck = CheckpointedExtract(args.output, args.run_id, args.buckets,
                              args.buckets_per_job, mode=args.mode)
     res = ck.run(load_transcripts(spark, args.input))
+    compacted = {}
+    if args.compact_mb:
+        for ds in ("spans", "transactions"):
+            rep = ck.compact(spark, ds, args.compact_mb << 20)
+            compacted[ds] = {
+                "files_before": sum(n for n, _ in rep.values()),
+                "files_after": sum(n for _, n in rep.values())}
     print(json.dumps({
         "run_id": res.run_id,
         "buckets_done": res.buckets_done,
         "buckets_skipped_resume": res.buckets_skipped,
         "rows_out": sum(m["rows_out"] for m in res.metrics),
+        **({"compacted": compacted} if compacted else {}),
     }))
     spark.stop()
 
