@@ -15,12 +15,22 @@ from .. import spec
 
 
 def load_transcripts(spark: SparkSession, path: str) -> DataFrame:
-    """S1: Parquet directory/file or Iceberg table name.
+    """S1: Parquet directory/file, JSONL/CSV exports, or an Iceberg
+    table name.
 
     At design scale this is `spark.read.table(<iceberg>)` so hidden
     partition pruning on bucket(conv_id)/days(ts) applies; the sandbox
     fallback is plain Parquet (same columns, same code thereafter).
-    """
+    JSONL/CSV (the common interchange dumps) read with the transcripts
+    schema ENFORCED — no inference job over the corpus, and a column
+    drifting type upstream surfaces as NULLs at the gate instead of a
+    silently different schema."""
+    if path.endswith((".json", ".jsonl")):
+        return spark.read.schema(spec.TRANSCRIPTS_DDL).json(path)
+    if path.endswith(".csv"):
+        return (spark.read.schema(spec.TRANSCRIPTS_DDL)
+                .option("header", True).option("multiLine", True)
+                .option("escape", '"').csv(path))
     if path.endswith(".parquet") or "/" in path:
         return spark.read.parquet(path)
     return spark.read.table(path)

@@ -181,3 +181,27 @@ def test_winnow_explode_plan_has_single_hash_copy(spark):
         "doc_id", F.explode("fps").alias("fp"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ascii(") == 1, plan[:2000]
+
+
+def test_load_transcripts_json_and_csv_roundtrip(spark, transcripts_path,
+                                                 tmp_path):
+    """S1 interchange formats: JSONL and CSV dumps load with the
+    transcripts schema ENFORCED and extract identically to the parquet
+    source (multiline statement text survives CSV quoting)."""
+    from bank_statement_pdf_parser_spark.plans.extract import extract_all
+    from bank_statement_pdf_parser_spark.sources.transcripts import (
+        load_transcripts)
+    src = spark.read.parquet(transcripts_path).limit(60)
+    want = sorted(map(tuple, extract_all(src).transactions.collect()))
+    jdir, cdir = str(tmp_path / "t.jsonl"), str(tmp_path / "t.csv")
+    src.coalesce(1).write.json(jdir)
+    (src.coalesce(1).write.option("header", True)
+     .option("escape", '"').csv(cdir))
+    for path in (jdir, cdir):
+        df = load_transcripts(spark, path)
+        # schema is ENFORCED from spec (ts arrives as session-tz
+        # timestamp rather than parquet's ntz flavor; extraction is
+        # ts-agnostic)
+        assert df.columns == src.columns
+        got = sorted(map(tuple, extract_all(df).transactions.collect()))
+        assert got == want and got
