@@ -1386,6 +1386,93 @@ FROM events GROUP BY CUBE (event_type, user_id % 2)
 """
 
 
+def _q_x_curation_pipeline(spark, sf_dir):
+    """End-to-end training-data curation — the composition the x_*
+    operators exist for, verified as ONE pipeline: (1) exact dedup
+    (md5 groupBy, keep min doc_id), (2) near-dup removal (winnowing
+    fingerprints; a doc sharing >= 3 fingerprints with ANY lower-id
+    stage-1 survivor is dropped — non-cascading, deterministic),
+    (3) quality gate (>= 10 tokens and >= 1% stopwords). Near-dup is
+    RELATIVE overlap — drop b when the shared fingerprints cover >=
+    half of b's fingerprint set (an absolute count is meaningless on
+    a small shared vocabulary: at >=3 shared this corpus collapses to
+    1 survivor). Every stage is a hash/fingerprint equi-join or
+    per-doc expression — nothing pairwise, the same shapes already
+    gated individually."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.neardup import (
+        exact_dedup)
+    from bank_statement_pdf_parser_spark.operators.textstats import (
+        quality_signals, winnow_fingerprints)
+    docs = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+            .select("doc_id", "text"))
+    groups = exact_dedup(docs).select(
+        F.col("keep_id").alias("doc_id"), "n_copies")
+    uniq = docs.join(groups, "doc_id").repartition(16, "doc_id")
+    fps = (winnow_fingerprints(uniq, k=8, w=4)
+           .select("doc_id", F.explode("fps").alias("fp")))
+    nfp = fps.groupBy("doc_id").agg(F.count("*").alias("nfp"))
+    shared = (fps.alias("l")
+              .join(fps.alias("r"),
+                    (F.col("l.fp") == F.col("r.fp"))
+                    & (F.col("l.doc_id") < F.col("r.doc_id")))
+              .groupBy(F.col("l.doc_id").alias("a"),
+                       F.col("r.doc_id").alias("b"))
+              .agg(F.count("*").alias("n_shared")))
+    drop = (shared.join(nfp, shared.b == nfp.doc_id)
+            .filter(2 * F.col("n_shared") >= F.col("nfp"))
+            .select(F.col("b").alias("doc_id")).distinct())
+    s2 = uniq.join(drop, "doc_id", "left_anti")
+    q = quality_signals(F.col("text"))
+    return (s2.select("doc_id", "n_copies",
+                      q["n_tokens"].alias("n_tokens"),
+                      q["stop_hits"].alias("stop_hits"))
+            .filter((F.col("n_tokens") >= 10)
+                    & (100 * F.col("stop_hits") >= F.col("n_tokens"))))
+
+
+_X_CURATION_SQL = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+g AS (SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM d GROUP BY md5(text)),
+u AS (SELECT d.doc_id, d.text, g.n_copies
+      FROM d JOIN g ON d.doc_id = g.keep_id),
+gr AS (SELECT doc_id, text,
+              CAST(unnest(range(length(text) - 7)) AS INTEGER) AS i
+       FROM u),
+h AS (SELECT doc_id, i,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 [CAST(ascii(substr(text, i+1+j, 1)) AS BIGINT)
+                  FOR j IN range(8)]),
+               (acc, c) -> (acc*257 + c) % 1000000007) AS hv,
+             length(text) - 7 AS ng
+      FROM gr),
+wmin AS (SELECT doc_id, i, ng,
+                min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                  AS fp
+         FROM h),
+fp AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE i <= ng - 4),
+cnt AS (SELECT doc_id, count(*) AS nfp FROM fp GROUP BY doc_id),
+pair AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_shared
+         FROM fp l JOIN fp r ON l.fp = r.fp AND l.doc_id < r.doc_id
+         GROUP BY l.doc_id, r.doc_id),
+dropped AS (SELECT DISTINCT p.b AS doc_id FROM pair p
+            JOIN cnt c ON p.b = c.doc_id
+            WHERE 2 * p.n_shared >= c.nfp),
+s2 AS (SELECT * FROM u
+       WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+q AS (SELECT doc_id, n_copies,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split(text, ' '), x -> x IN
+               ('the','a','of','and','to','in'))) AS BIGINT) AS stop_hits
+      FROM s2)
+SELECT doc_id, n_copies, n_tokens, stop_hits FROM q
+WHERE n_tokens >= 10 AND 100 * stop_hits >= n_tokens
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_extract_transactions": _flagship_transactions,
@@ -1450,6 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_stream_assemble": _q_x_stream_assemble,
         "x_pivot": _q_x_pivot,
         "x_cube": _q_x_cube,
+        "x_curation_pipeline": _q_x_curation_pipeline,
     }
 
 
@@ -1665,6 +1753,7 @@ def oracle_sql() -> dict[str, str]:
         "x_stream_assemble": _X_STREAM_ASSEMBLE_SQL,
         "x_pivot": _X_PIVOT_SQL,
         "x_cube": _X_CUBE_SQL,
+        "x_curation_pipeline": _X_CURATION_SQL,
         "x_image_stats": _X_IMAGE_STATS_SQL,
         "x_audio_stats": _X_AUDIO_STATS_SQL,
         "x_video_frames": _X_VIDEO_FRAMES_SQL,
