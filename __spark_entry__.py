@@ -1473,6 +1473,40 @@ WHERE n_tokens >= 10 AND 100 * stop_hits >= n_tokens
 """
 
 
+def _q_x_session_gap(spark, sf_dir):
+    """Gap-based sessionization (the classic idle-timeout rule, distinct
+    from D8's anchor rule): a new session starts when a user's gap
+    since their previous event exceeds 30 minutes; session ids are the
+    running count of session starts — lag + conditional cumsum over
+    one window, a single shuffle on the user key."""
+    _prep(spark)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(us("ts")).over(w)
+    new_sess = (prev.isNull()
+                | ((us("ts") - prev) > 30 * 60 * 1_000_000)).cast("long")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (_t(spark, sf_dir, "events")
+            .select("event_id", "user_id",
+                    F.sum(new_sess).over(wsum).alias("session_id")))
+
+
+_X_SESSION_GAP_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t,
+         lag(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT event_id, user_id,
+       CAST(SUM(CASE WHEN prev IS NULL OR t - prev > 30*60*1000000
+                     THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS session_id
+FROM e
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_extract_transactions": _flagship_transactions,
@@ -1538,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_pivot": _q_x_pivot,
         "x_cube": _q_x_cube,
         "x_curation_pipeline": _q_x_curation_pipeline,
+        "x_session_gap": _q_x_session_gap,
     }
 
 
@@ -1754,6 +1789,7 @@ def oracle_sql() -> dict[str, str]:
         "x_pivot": _X_PIVOT_SQL,
         "x_cube": _X_CUBE_SQL,
         "x_curation_pipeline": _X_CURATION_SQL,
+        "x_session_gap": _X_SESSION_GAP_SQL,
         "x_image_stats": _X_IMAGE_STATS_SQL,
         "x_audio_stats": _X_AUDIO_STATS_SQL,
         "x_video_frames": _X_VIDEO_FRAMES_SQL,
