@@ -114,10 +114,22 @@ def _obs_result(observation, fallback):
     re-planning prunes the subtree including the CollectMetrics node,
     and .get raises even though the stage ran. Only possible when the
     observed job produced no rows at all, so `fallback()` recomputes
-    (or zero-fills) for that rare case."""
+    (or zero-fills) for that rare case.
+
+    The pruning surfaces as a Py4J/JVM error from `getRow()` whose
+    exact class isn't stable across Spark minors, so the except stays
+    broad — but every fallback is LOGGED with the triggering error:
+    a fallback on a non-empty group means an unplanned extra input
+    scan (and possibly masked metrics), which must be visible."""
     try:
         return observation.get
-    except Exception:
+    except Exception as e:  # noqa: BLE001 — see docstring
+        import warnings
+        warnings.warn(
+            "Observation metrics unavailable "
+            f"({type(e).__name__}: {e}); recomputing via fallback — "
+            "expected only for an all-empty observed job (AQE "
+            "empty-relation pruning)", RuntimeWarning, stacklevel=2)
         return fallback()
 
 
@@ -292,13 +304,32 @@ class CheckpointedExtract:
         slice = xxhash64 pmod the bucket's file budget) into a staging
         directory, then a directory swap. The swap is the non-atomic
         seam (two renames); on Iceberg the same action is a snapshot
-        commit. A leftover `.compacting`/`.old` dir from a crash is
-        removed on the next call — committed data is never the staging
-        copy until the swap completes. Returns
-        {bucket: (files_before, files_after)}."""
+        commit. Crash recovery on entry, ordered so committed data is
+        NEVER deleted:
+
+        - `data_dir` present: any leftover `.compacting` (crash during
+          the staging write) or `.old` (crash after the second rename,
+          before cleanup) is stale — remove it.
+        - `data_dir` MISSING (crash in the window between the two
+          renames): the committed copy lives at `.old` — rename it
+          back. Only when there is no `.old` is a COMPLETE
+          `.compacting` promoted (the first rename can only have run
+          after the staging write finished, so if `.old` is also gone
+          the staging copy is the surviving full dataset).
+
+        Returns {bucket: (files_before, files_after)} — {} for an
+        empty/absent dataset (no-op, e.g. --compact-mb after a run
+        that extracted nothing)."""
         data_dir = os.path.join(self.output_dir, dataset)
         staging, old = data_dir + ".compacting", data_dir + ".old"
         import shutil
+        if not os.path.exists(data_dir):
+            if os.path.exists(old):
+                os.rename(old, data_dir)       # restore committed copy
+            elif os.path.exists(staging):
+                os.rename(staging, data_dir)   # complete pre-swap copy
+        if not os.path.exists(data_dir):
+            return {}
         for leftover in (staging, old):
             if os.path.exists(leftover):
                 shutil.rmtree(leftover)
@@ -314,6 +345,8 @@ class CheckpointedExtract:
             files_before[b] = len(parts)
             sizes[b] = sum(os.path.getsize(os.path.join(bdir, f))
                            for f in parts)
+        if not files_before:
+            return {}
         budget = {b: max(1, -(-sz // target_bytes))
                   for b, sz in sizes.items()}
 

@@ -122,3 +122,49 @@ def test_compact_rewrites_small_files_losslessly(spark, transcripts_path,
         assert n_after <= n_before
         assert n_after == 1  # 1 GiB budget -> one file per bucket
     assert sum(n for n, _ in report.values()) > len(report)  # was fragmented
+
+
+def test_compact_recovers_from_between_renames_crash(spark, transcripts_path,
+                                                     tmp_path):
+    """The swap is two renames; a crash BETWEEN them leaves the only
+    committed copy at `.old` (plus the complete `.compacting` copy) and
+    NO data_dir. The next compact() must RECOVER that state — restore
+    the committed copy and proceed — never purge it (the round-4 code
+    rmtree'd both leftovers first, destroying the dataset)."""
+    import os
+    import shutil
+    out = str(tmp_path / "out")
+    ck = CheckpointedExtract(out, "r", 4, 4)
+    ck.run(spark.read.parquet(transcripts_path).limit(200))
+    txns_dir = f"{out}/transactions"
+    before = sorted(map(tuple, spark.read.parquet(txns_dir).collect()))
+    assert before
+
+    # crash window A: data_dir renamed to .old, staging copy complete
+    shutil.copytree(txns_dir, txns_dir + ".compacting")
+    os.rename(txns_dir, txns_dir + ".old")
+    report = ck.compact(spark, "transactions", target_bytes=1 << 30)
+    assert report  # recovered and compacted, not crashed
+    after = sorted(map(tuple, spark.read.parquet(txns_dir).collect()))
+    assert after == before
+    assert not os.path.exists(txns_dir + ".old")
+    assert not os.path.exists(txns_dir + ".compacting")
+
+    # crash window B: only a complete staging copy survives -> promoted
+    shutil.copytree(txns_dir, txns_dir + ".compacting")
+    shutil.rmtree(txns_dir)
+    report = ck.compact(spark, "transactions", target_bytes=1 << 30)
+    assert report
+    after = sorted(map(tuple, spark.read.parquet(txns_dir).collect()))
+    assert after == before
+
+
+def test_compact_empty_dataset_is_noop(spark, tmp_path):
+    """--compact-mb after a run that extracted nothing must no-op, not
+    raise: dataset dir absent, or present with zero bucket partitions
+    (round-4 code built an empty repartition budget and crashed)."""
+    import os
+    ck = CheckpointedExtract(str(tmp_path / "out"), "r", 4, 4)
+    assert ck.compact(spark, "transactions") == {}  # dir absent
+    os.makedirs(str(tmp_path / "out" / "transactions"))
+    assert ck.compact(spark, "transactions") == {}  # no partitions
