@@ -20,9 +20,8 @@ are pure DataFrame compositions with the scale-correct shapes:
 
 Semantics frozen for the DuckDB gates (x_asof_join / x_range_join):
 as-of is INCLUSIVE (right.ts == left.ts matches; at equal ts the
-right row sorts before the left via the side tag) and the right side
-must be unique per (key, ts) — callers dedupe with max_by first. The
-range is half-open [t0, t1).
+right row sorts before the left via the side tag). The range is
+half-open [t0, t1).
 """
 
 from __future__ import annotations
@@ -33,22 +32,39 @@ from pyspark.sql import functions as F
 
 def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
               ts_col: str = "ts",
-              right_cols: tuple[str, ...] = ()) -> DataFrame:
+              right_cols: tuple[str, ...] = (),
+              dedup_right: bool = True) -> DataFrame:
     """For every left row: the most recent right row with the same
     `on` key and right.ts <= left.ts (NULLs when none — left-join
-    semantics). `right` must be unique per (on, ts). Output: all left
-    columns plus `r_<c>` for each of right_cols and `r_ts`."""
-    rtype = {f.name: f.dataType for f in right.schema.fields}
-    carried = {"r_ts": ts_col, **{f"r_{c}": c for c in right_cols}}
-    l = left.select(
-        "*",
-        *[F.lit(None).cast(rtype[src]).alias(dst)
-          for dst, src in carried.items()],
-        F.lit(1).alias("_side"))
-    r = right.select(
-        on, ts_col,
-        *[F.col(src).alias(dst) for dst, src in carried.items()],
-        F.lit(0).alias("_side"))
+    semantics). Output: all left columns plus `r_<c>` for each of
+    right_cols and `r_ts`.
+
+    The carried payload travels as ONE struct(ts, *right_cols) column
+    under a single last(ignorenulls=True) — row-atomic by
+    construction: a NULL field inside a right row rides with its own
+    row instead of being back-filled from an older row (the round-4
+    per-column carry stitched together rows that never existed when a
+    payload field was NULL; flagged in ADVICE r4).
+
+    Duplicate right rows per (on, ts): with `dedup_right=True`
+    (default) the operator keeps the struct-wise MAX payload per
+    (key, ts) — deterministic, one extra partial-aggregating shuffle
+    on the same key. With `dedup_right=False` the caller asserts
+    uniqueness; duplicates then resolve to whichever row sorts last
+    within the window partition (non-deterministic across runs)."""
+    payload = F.struct(
+        F.col(ts_col).alias("r_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in right_cols])
+    if dedup_right:
+        r = (right.groupBy(on, ts_col)
+             .agg(F.max(payload).alias("_r"))
+             .select(on, ts_col, "_r", F.lit(0).alias("_side")))
+    else:
+        r = right.select(on, ts_col, payload.alias("_r"),
+                         F.lit(0).alias("_side"))
+    rtype = r.schema["_r"].dataType
+    l = left.select("*", F.lit(None).cast(rtype).alias("_r"),
+                    F.lit(1).alias("_side"))
     lfields = {f.name: f.dataType for f in l.schema.fields}
     r = r.select("*", *[F.lit(None).cast(t).alias(n)
                         for n, t in lfields.items() if n not in r.columns])
@@ -56,9 +72,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
     # right rows sort BEFORE left rows at equal ts -> inclusive as-of
     w = (Window.partitionBy(on).orderBy(ts_col, "_side")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    for dst in carried:
-        both = both.withColumn(dst, F.last(dst, ignorenulls=True).over(w))
-    return both.filter(F.col("_side") == 1).drop("_side")
+    both = both.withColumn("_r", F.last("_r", ignorenulls=True).over(w))
+    carried = ["r_ts"] + [f"r_{c}" for c in right_cols]
+    return (both.filter(F.col("_side") == 1)
+            .select(*left.columns,
+                    *[F.col(f"_r.{c}").alias(c) for c in carried]))
 
 
 def range_join(intervals: DataFrame, points: DataFrame,

@@ -39,6 +39,41 @@ def test_asof_inclusive_latest_and_unmatched(spark):
     assert len(out) == 4  # every left row survives exactly once
 
 
+def test_asof_null_payload_field_stays_row_atomic(spark):
+    """A NULL field inside the matched right row must surface as NULL —
+    not be back-filled from an older right row. The round-4 per-column
+    last(ignorenulls) carry stitched (newer r_ts, older r_v) rows that
+    never existed (ADVICE r4); the struct carry keeps rows atomic."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts(300))], "l_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, _ts(100), 7.0, "a"),
+         (10, _ts(200), None, None)],  # most recent row: NULL payload
+        "user_id long, ts timestamp, v double, tag string")
+    row = asof_join(left, right, on="user_id", ts_col="ts",
+                    right_cols=("v", "tag")).collect()[0]
+    assert row.r_ts == _ts(200)
+    assert row.r_v is None and row.r_tag is None
+
+
+def test_asof_duplicate_right_rows_dedup_deterministic(spark):
+    """Duplicate right rows per (key, ts): the operator's built-in
+    dedup keeps the struct-wise MAX payload — deterministic, and the
+    result is one output row per left row (no fan-out)."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts(150)), (2, 10, _ts(90))],
+        "l_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, _ts(100), 3.0), (10, _ts(100), 9.0), (10, _ts(100), 5.0)],
+        "user_id long, ts timestamp, v double")
+    out = asof_join(left, right, on="user_id", ts_col="ts",
+                    right_cols=("v",)).collect()
+    assert len(out) == 2  # no duplicate-driven fan-out
+    by_id = {r.l_id: r for r in out}
+    assert by_id[1].r_v == 9.0  # struct-wise max payload wins
+    assert by_id[2].r_v is None
+
+
 def test_range_join_half_open_and_boundaries(spark):
     iv = spark.createDataFrame(
         [(1, _ts(0), _ts(3600)),        # [0, 3600)
