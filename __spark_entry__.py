@@ -1398,10 +1398,22 @@ def _q_x_curation_pipeline(spark, sf_dir):
     a small shared vocabulary: at >=3 shared this corpus collapses to
     1 survivor). Every stage is a hash/fingerprint equi-join or
     per-doc expression — nothing pairwise, the same shapes already
-    gated individually."""
+    gated individually.
+
+    The fingerprint self-join is CAPPED (neardup.capped_shared_fp_counts,
+    max_fp_freq=256): fingerprints held by more docs are dropped before
+    the pair join, with drop counts riding an Observation. 256 exceeds
+    this corpus's hottest fingerprint (242 at sf0.001, 233 at sf0.01 —
+    output unchanged here) and the cap is MIRRORED in the oracle SQL
+    (HAVING count(*) <= 256), so the gate verifies the capped
+    semantics, not just this corpus. The relative-overlap DENOMINATOR
+    stays the full fingerprint set: capping can only reduce n_shared,
+    so a hot fingerprint can only make the rule more conservative,
+    never drop extra docs."""
     _prep(spark)
+    from pyspark.sql import Observation
     from bank_statement_pdf_parser_spark.operators.neardup import (
-        exact_dedup)
+        capped_shared_fp_counts, exact_dedup)
     from bank_statement_pdf_parser_spark.operators.textstats import (
         quality_signals, winnow_fingerprints)
     docs = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
@@ -1412,13 +1424,8 @@ def _q_x_curation_pipeline(spark, sf_dir):
     fps = (winnow_fingerprints(uniq, k=8, w=4)
            .select("doc_id", F.explode("fps").alias("fp")))
     nfp = fps.groupBy("doc_id").agg(F.count("*").alias("nfp"))
-    shared = (fps.alias("l")
-              .join(fps.alias("r"),
-                    (F.col("l.fp") == F.col("r.fp"))
-                    & (F.col("l.doc_id") < F.col("r.doc_id")))
-              .groupBy(F.col("l.doc_id").alias("a"),
-                       F.col("r.doc_id").alias("b"))
-              .agg(F.count("*").alias("n_shared")))
+    shared = capped_shared_fp_counts(
+        fps, max_fp_freq=256, observation=Observation("curation_cap"))
     drop = (shared.join(nfp, shared.b == nfp.doc_id)
             .filter(2 * F.col("n_shared") >= F.col("nfp"))
             .select(F.col("b").alias("doc_id")).distinct())
@@ -1455,8 +1462,10 @@ wmin AS (SELECT doc_id, i, ng,
          FROM h),
 fp AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE i <= ng - 4),
 cnt AS (SELECT doc_id, count(*) AS nfp FROM fp GROUP BY doc_id),
+okfp AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 256),
+fpc AS (SELECT f.doc_id, f.fp FROM fp f JOIN okfp USING (fp)),
 pair AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_shared
-         FROM fp l JOIN fp r ON l.fp = r.fp AND l.doc_id < r.doc_id
+         FROM fpc l JOIN fpc r ON l.fp = r.fp AND l.doc_id < r.doc_id
          GROUP BY l.doc_id, r.doc_id),
 dropped AS (SELECT DISTINCT p.b AS doc_id FROM pair p
             JOIN cnt c ON p.b = c.doc_id

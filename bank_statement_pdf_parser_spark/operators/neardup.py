@@ -130,6 +130,53 @@ def simhash64(df: DataFrame, text_col: str = "text",
     return agg.select("doc_id", sim.alias("simhash"))
 
 
+def capped_shared_fp_counts(fps: DataFrame, max_fp_freq: int = 256,
+                            observation=None) -> DataFrame:
+    """Pairwise shared-fingerprint counts (a < b, `n_shared`) from an
+    exploded (doc_id, fp) frame — the join stage of winnowing-based
+    near-dup (textstats.winnow_fingerprints feeds this).
+
+    The self-join is capped exactly like `lsh_candidates`: a
+    fingerprint held by k docs yields k^2/2 pairs, so one ubiquitous
+    fingerprint (an 8-gram of boilerplate shared by millions of docs at
+    100 TB) makes a single hash bucket quadratic. Fingerprints above
+    `max_fp_freq` are dropped BEFORE the join via a semi-join against
+    the under-cap list; flood-duplicate docs belong to `exact_dedup`,
+    which runs upstream in every curation composition.
+
+    The cap's recall loss must be observable (repo rule: no silent
+    caps): pass a `pyspark.sql.Observation` and the consuming job
+    records `dropped_fp_rows` (exact), `dropped_fps` and
+    `docs_affected` (HLL estimates). Same seam as
+    `ann.ann_candidate_pairs`, including its caveats: with an
+    observation the frequencies ride a broadcast join so the
+    CollectMetrics node sits on the probe side, and AQE
+    empty-relation propagation makes metrics unreliable only when the
+    operator returns no pairs at all."""
+    freq = fps.groupBy("fp").agg(F.count("*").alias("n_fp"))
+    if observation is None:
+        ok = freq.filter(F.col("n_fp") <= max_fp_freq).select("fp")
+        capped = fps.join(ok, "fp", "left_semi")
+    else:
+        over = F.col("n_fp") > max_fp_freq
+        capped = (fps.join(F.broadcast(freq), "fp")
+                  .observe(
+                      observation,
+                      F.sum(over.cast("long")).alias("dropped_fp_rows"),
+                      F.approx_count_distinct(F.when(over, F.col("fp")))
+                      .alias("dropped_fps"),
+                      F.approx_count_distinct(F.when(over,
+                                                     F.col("doc_id")))
+                      .alias("docs_affected"))
+                  .filter(~over).drop("n_fp"))
+    l, r = capped.alias("l"), capped.alias("r")
+    return (l.join(r, (F.col("l.fp") == F.col("r.fp"))
+                   & (F.col("l.doc_id") < F.col("r.doc_id")))
+            .groupBy(F.col("l.doc_id").alias("a"),
+                     F.col("r.doc_id").alias("b"))
+            .agg(F.count("*").alias("n_shared")))
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Exact dedup keeping the smallest id per identical text (hash

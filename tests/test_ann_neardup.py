@@ -102,6 +102,31 @@ def test_ann_cap_drop_is_observable(spark):
     assert obs.get["dropped_buckets"] == 2  # HLL exact at this scale
 
 
+def test_curation_fp_cap_drops_planted_hot_fingerprint(spark):
+    """A planted ubiquitous fingerprint (boilerplate 8-gram shared by
+    every doc) must be excluded from the pair join by the frequency
+    cap — no quadratic bucket — while rare shared fingerprints still
+    pair; the Observation reports the drop (no silent caps)."""
+    from pyspark.sql import Observation
+    from bank_statement_pdf_parser_spark.operators.neardup import (
+        capped_shared_fp_counts)
+    hot = [(d, 777) for d in range(50)]          # 50 docs -> over cap
+    rare = [(1, 10), (2, 10), (2, 11), (3, 11)]  # under cap
+    fps = spark.createDataFrame(hot + rare, "doc_id long, fp long")
+    obs = Observation("cap")
+    out = capped_shared_fp_counts(fps, max_fp_freq=10, observation=obs)
+    pairs = {(r.a, r.b): r.n_shared for r in out.collect()}
+    assert pairs == {(1, 2): 1, (2, 3): 1}  # hot fp contributed nothing
+    assert obs.get["dropped_fp_rows"] == 50
+    assert obs.get["dropped_fps"] == 1
+    assert 45 <= obs.get["docs_affected"] <= 55  # HLL estimate, rsd 5%
+
+    # without an observation the semi-join path drops the same bucket
+    out2 = capped_shared_fp_counts(fps, max_fp_freq=10)
+    assert {(r.a, r.b): r.n_shared
+            for r in out2.collect()} == {(1, 2): 1, (2, 3): 1}
+
+
 def test_lattice_guard_degenerate_rails(spark):
     """<2 voted rails (or a pipe-less corpus) must yield cells=[], not
     the descending-sequence garbage ADVICE.md flagged; empty lines must
