@@ -45,6 +45,13 @@ def main():
          .select("p_brand", "rev"))
     sections.append(("pushdown + broadcast join + partial agg", explain_str(q)))
 
+    import __spark_entry__ as entry
+    cur = entry.queries()["x_curation_pipeline"](spark, "/root/testdata/sf0.001")
+    sections.append(
+        ("curation pipeline — capped fingerprint self-join "
+         "(the under-cap semi-join must sit between the fingerprint "
+         "explode and the pair join)", explain_str(cur)))
+
     with open("/root/repo/PLANS.md", "w") as fh:
         fh.write(
             "# Physical plans (explain formatted)\n\n"
