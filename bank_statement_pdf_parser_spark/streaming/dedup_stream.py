@@ -8,10 +8,17 @@ entry per key only until the event-time watermark passes `within`, so
 state is bounded by (arrival rate x window), not stream length — the
 only viable shape at 10^12 turns. Keys on (conv_id, turn_idx) by
 default (a redelivered turn is the same logical row); `by_content=True`
-keys on the xxhash64 of the text instead (cross-conversation exact
-content dedup, the streaming analogue of neardup.exact_dedup — note
-this drops ALL BUT THE FIRST conversation carrying a given text within
-the window).
+keys on the content instead (cross-conversation exact content dedup,
+the streaming analogue of neardup.exact_dedup — note this drops ALL
+BUT THE FIRST conversation carrying a given text within the window).
+
+Content keying: a single 64-bit hash is NOT collision-safe at design
+scale — at 10^12 keys the birthday bound expects tens of thousands of
+colliding pairs, each silently dropping a distinct document. The key
+is therefore (length(text), xxhash64(text), xxhash64(41, text)): two
+independently-seeded 64-bit hashes plus the length, ~128 effective
+bits, putting the expected collision count at 10^12 keys below 1e-13.
+The state row stays ~20 bytes/key; text itself never enters state.
 """
 
 from __future__ import annotations
@@ -28,6 +35,9 @@ def dedup_turns(stream: DataFrame, within: str = "1 hour",
     wins)."""
     wm = stream.withWatermark("ts", within)
     if by_content:
-        keyed = wm.withColumn("_k", F.xxhash64("text"))
-        return keyed.dropDuplicatesWithinWatermark(["_k"]).drop("_k")
+        keyed = (wm.withColumn("_klen", F.length("text"))
+                 .withColumn("_k1", F.xxhash64("text"))
+                 .withColumn("_k2", F.xxhash64(F.lit(41), F.col("text"))))
+        return (keyed.dropDuplicatesWithinWatermark(["_klen", "_k1", "_k2"])
+                .drop("_klen", "_k1", "_k2"))
     return wm.dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
