@@ -80,9 +80,12 @@ def per_bank(expr_fn) -> Column:
     return c
 
 
-def normalize_records(records: DataFrame) -> DataFrame:
+def normalize_records(records: DataFrame,
+                      carry: tuple[str, ...] = ()) -> DataFrame:
     """records (tokenizer/relational output) -> `transactions` frame
-    per spec.TRANSACTIONS_DDL, minus txn_idx (assigned by the caller)."""
+    per spec.TRANSACTIONS_DDL, minus txn_idx (assigned by the caller).
+    `carry`: extra input columns passed through untouched (the sink's
+    bucket column)."""
     w = amount_struct(F.col("wdr_cell"))
     d = amount_struct(F.col("dep_cell"))
     bal = amount_struct(F.col("bal_cell"))
@@ -127,7 +130,7 @@ def normalize_records(records: DataFrame) -> DataFrame:
     )
 
     return records.select(
-        "conv_id", "turn_idx", "bank",
+        *carry, "conv_id", "turn_idx", "bank",
         txn_date.alias("txn_date"), value_date.alias("value_date"),
         description.alias("description"), ref.alias("ref"),
         debit.alias("debit"), credit.alias("credit"),

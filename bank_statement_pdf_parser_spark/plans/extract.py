@@ -83,13 +83,28 @@ def build_records(turns: DataFrame, mode: str = "fused",
 
 
 def build_spans(turns: DataFrame | None, records: DataFrame,
-                records_include_html: bool = False) -> DataFrame:
+                records_include_html: bool = False,
+                window_prefix: tuple[str, ...] = ()) -> DataFrame:
     """All span kinds in ONE pass over records: each record explodes
     into its head span (txn, or main for HTML pseudo-records) plus its
     lattice cell spans. A union of sibling selects over `records`
     would duplicate the records SUBTREE (the tokenizer) per branch —
     one action would tokenize the corpus 2-3x — so the array-concat +
-    single explode shape matters at scale."""
+    single explode shape matters at scale.
+
+    window_prefix: extra columns prepended to the span_idx window's
+    partitionBy AND carried into the output. Meant for columns that
+    are FUNCTIONS OF conv_id (the sink's bucket column): the window
+    semantics are unchanged, but a child already hash-partitioned on
+    the prefix then SATISFIES the window's required clustering — one
+    upstream repartition(n, prefix) serves both the window and a
+    bucket-aligned partitionBy write, instead of one exchange each
+    (measured on the sink: two records-sized exchanges per derived
+    output down to one). Only the fused path supports it (the
+    relational cross-check branch unions spans from `turns`, which
+    does not carry the prefix)."""
+    if window_prefix and not records_include_html:
+        raise ValueError("window_prefix requires records_include_html")
     head_kind = (F.when(F.col("bank") == "HTML",
                         F.lit(spec.SPAN_KIND_MAIN))
                  .otherwise(F.lit(spec.SPAN_KIND_TXN))
@@ -107,9 +122,9 @@ def build_spans(turns: DataFrame | None, records: DataFrame,
         F.lit(spec.SPAN_KIND_CELL).alias("span_kind"),
         c["text"].alias("text")))
     rec_spans = (records.select(
-        "conv_id", "turn_idx",
+        *window_prefix, "conv_id", "turn_idx",
         F.explode(F.concat(head, cell_spans)).alias("s"))
-        .select("conv_id", "turn_idx",
+        .select(*window_prefix, "conv_id", "turn_idx",
                 F.col("s.span_start").alias("span_start"),
                 F.col("s.span_end").alias("span_end"),
                 F.col("s.span_kind").alias("span_kind"),
@@ -129,19 +144,26 @@ def build_spans(turns: DataFrame | None, records: DataFrame,
                     F.col("s.text").alias("text"))
         )
         allspans = rec_spans.unionByName(main_spans)
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy("span_start")
+    w = (Window.partitionBy(*window_prefix, "conv_id", "turn_idx")
+         .orderBy("span_start"))
     return allspans.select(
-        "conv_id", "turn_idx",
+        *window_prefix, "conv_id", "turn_idx",
         (F.row_number().over(w) - 1).cast("int").alias("span_idx"),
         F.col("span_start").cast("int"), F.col("span_end").cast("int"),
         "span_kind", "text")
 
 
-def build_transactions(records: DataFrame) -> DataFrame:
-    norm = normalize_records(records.filter(F.col("bank") != "HTML"))
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy("line_start")
+def build_transactions(records: DataFrame,
+                       window_prefix: tuple[str, ...] = ()) -> DataFrame:
+    """window_prefix: see build_spans — same contract (prefix columns
+    must be functions of conv_id; they join the txn_idx window's
+    partitionBy and the output)."""
+    norm = normalize_records(records.filter(F.col("bank") != "HTML"),
+                             carry=window_prefix)
+    w = (Window.partitionBy(*window_prefix, "conv_id", "turn_idx")
+         .orderBy("line_start"))
     return norm.select(
-        "conv_id", "turn_idx",
+        *window_prefix, "conv_id", "turn_idx",
         (F.row_number().over(w) - 1).cast("int").alias("txn_idx"),
         "bank", "txn_date", "value_date", "description", "ref",
         "debit", "credit", "balance",

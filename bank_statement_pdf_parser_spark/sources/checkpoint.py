@@ -230,20 +230,37 @@ class CheckpointedExtract:
             # 2) spans + transactions from the staged records (no raw
             # text). Explicit schema: skips inference listing, and an
             # all-empty group writes no files to infer from.
+            #
+            # Fused path: ONE repartition(n, bucket) on the staged
+            # records is the ONLY exchange per derived output — the
+            # bucket column joins the span/txn index windows'
+            # partitionBy (bucket is a function of conv_id, so the
+            # numbering is unchanged), which makes hash(bucket)
+            # satisfy the window's clustering requirement, and the
+            # same clustering makes the partitionBy(bucket) write emit
+            # ~1 file per bucket with no second repartition.
             from ..operators.tokenize import RECORDS_DDL
             os.makedirs(records_dir, exist_ok=True)
             staged = (spark.read
                       .schema(f"{RECORDS_DDL}, {BUCKET} int")
                       .parquet(records_dir)
-                      .filter(F.col(BUCKET).isin(group)).drop(BUCKET))
+                      .filter(F.col(BUCKET).isin(group)))
             if self.mode == "fused":
-                spans = build_spans(None, staged, records_include_html=True)
+                staged = staged.repartition(self.n_buckets, BUCKET)
+                spans = build_spans(None, staged,
+                                    records_include_html=True,
+                                    window_prefix=(BUCKET,))
+                txns = build_transactions(staged,
+                                          window_prefix=(BUCKET,))
             else:
                 # relational records exclude HTML; the D5 pandas-UDF
-                # branch re-reads the HTML turns (cross-check mode only)
+                # branch re-reads the HTML turns (cross-check mode
+                # only, not the hot path — keeps the two-exchange
+                # shape because spans also derive from raw turns)
+                staged = staged.drop(BUCKET)
                 turns2 = with_resolved_payload(gsrc.drop(BUCKET))
                 spans = build_spans(turns2, staged)
-            txns = build_transactions(staged)
+                txns = build_transactions(staged)
 
             # the two derived jobs share the staged input and neither
             # saturates the cluster alone — submit them CONCURRENTLY
@@ -253,11 +270,17 @@ class CheckpointedExtract:
             # job committed, and no read-back job is needed
             def observed_write(out_df, path):
                 o = Observation()
-                bucketed = with_bucket(out_df, self.n_buckets)
+                if BUCKET in out_df.columns:
+                    # fused path: already carries bucket AND is hash-
+                    # partitioned on it upstream — no exchange here
+                    bucketed = out_df
+                else:
+                    bucketed = (with_bucket(out_df, self.n_buckets)
+                                .repartition(self.n_buckets, BUCKET))
                 bucketed = bucketed.observe(o, *[
                     F.count(F.when(F.col(BUCKET) == b, True)).alias(str(b))
                     for b in group])
-                (bucketed.repartition(self.n_buckets, BUCKET)
+                (bucketed
                  .write.mode("overwrite").partitionBy(BUCKET)
                  .parquet(path))
                 # metrics can only be missing when the job wrote no
