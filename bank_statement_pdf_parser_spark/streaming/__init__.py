@@ -26,5 +26,6 @@ metrics` (watermark + windowed aggregation, append mode).
 """
 
 from .assembler import assemble_turns  # noqa: F401
-from .batch_stream import extract_stream  # noqa: F401
+from .batch_stream import curate_stream, extract_stream  # noqa: F401
+from .dedup_stream import dedup_chunks, dedup_turns  # noqa: F401
 from .metrics_stream import windowed_turn_metrics  # noqa: F401

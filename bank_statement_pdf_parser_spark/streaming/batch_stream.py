@@ -106,3 +106,41 @@ def extract_stream(transcript_stream: DataFrame, output_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .foreachBatch(process_batch)
             .start())
+
+
+def curate_stream(chunk_stream: DataFrame, output_dir: str,
+                  checkpoint_dir: str, run_id: str = "curate",
+                  dedup_within: str = "1 hour",
+                  assemble_timeout_ms: int | None = None):
+    """The END-TO-END streaming curation pipeline as ONE query:
+
+        chunks -> dedup_chunks (watermarked exact dedup, key-only
+        state) -> assemble_turns (GroupState buffers fragments across
+        micro-batches) -> foreachBatch extraction with per-batch
+        idempotent writes + atomic lineage manifests (extract_stream's
+        batch body).
+
+    All three stateful concerns — dedup state, assembler GroupState,
+    manifest commits — hang off the SAME checkpoint, so a kill at any
+    point resumes coherently: replayed chunks are re-deduped from
+    restored dedup state, half-assembled turns continue from restored
+    GroupState, and a replayed micro-batch overwrites its own
+    batch_id partition and manifest (no duplicate rows, no duplicate
+    lineage). Dedup runs BEFORE assembly — see dedup_chunks for why
+    that is both the cheaper-state order and the one Spark 4.1 plans
+    correctly. chunk_stream: assembler.CHUNKS_DDL schema."""
+    from .assembler import assemble_turns
+    from .dedup_stream import dedup_chunks
+    store = ManifestStore(f"{output_dir}/_manifest", prefix="batch")
+    turns = assemble_turns(dedup_chunks(chunk_stream, dedup_within),
+                           timeout_ms=assemble_timeout_ms)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        process_micro_batch(batch_df, batch_id, output_dir,
+                            store=store, run_id=run_id)
+
+    return (turns.writeStream
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .foreachBatch(process_batch)
+            .start())

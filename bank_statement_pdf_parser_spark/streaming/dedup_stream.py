@@ -27,6 +27,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def dedup_chunks(chunk_stream: DataFrame,
+                 within: str = "1 hour") -> DataFrame:
+    """Exact-dedup for a CHUNKED turn stream (assembler.CHUNKS_DDL),
+    keyed on (conv_id, turn_idx, chunk_idx) — drops at-least-once
+    chunk redeliveries AND whole-turn redeliveries (every chunk of the
+    second copy is a key-level duplicate) before they reach the
+    stateful assembler.
+
+    This is the composition order for the end-to-end curation stream
+    (dedup BEFORE assembly, not after):
+
+    - state here is key-only (~tens of bytes/chunk within the
+      watermark horizon); deduping assembled turns instead would
+      buffer each redelivered turn's full text in assembler state a
+      second time before dropping it;
+    - a redelivered turn arriving AFTER its assembler state was
+      emitted+removed would otherwise re-assemble and re-emit;
+    - (implementation note, Spark 4.1) the Arrow-columnar output of
+      applyInPandasWithState feeding a downstream stateful exchange
+      throws ClassCastException (ColumnarBatchRow -> UnsafeRow);
+      dedup-first keeps the pandas-state operator last before the
+      sink, which is also the plan you want."""
+    return (chunk_stream.withWatermark("ts", within)
+            .dropDuplicatesWithinWatermark(
+                ["conv_id", "turn_idx", "chunk_idx"]))
+
+
 def dedup_turns(stream: DataFrame, within: str = "1 hour",
                 by_content: bool = False) -> DataFrame:
     """stream: streaming DataFrame with the transcripts schema (must

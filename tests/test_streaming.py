@@ -226,6 +226,82 @@ def test_empty_micro_batch_commits_zero_lineage(spark, tmp_path):
     assert m.conv_id_min is None and m.conv_id_max is None
 
 
+def test_curate_stream_end_to_end_kill_resume(spark, transcripts_path,
+                                              tmp_path):
+    """The COMPOSED streaming story in one query — chunks ->
+    dedup_chunks -> assemble_turns -> extraction + lineage manifests —
+    killed mid-run with turns half-assembled in GroupState, then
+    resumed on the same checkpoint. Asserts: output byte-equal to the
+    batch engine on the logical corpus, duplicate chunks AND a
+    redelivered whole turn dropped, half-assembled turns completed
+    from restored state, and lineage manifests unique per micro-batch
+    (total rows_in == assembled turns, each exactly once)."""
+    from bank_statement_pdf_parser_spark.sources.checkpoint import (
+        ManifestStore)
+    from bank_statement_pdf_parser_spark.streaming import curate_stream
+    from bank_statement_pdf_parser_spark.streaming.assembler import (
+        CHUNKS_DDL)
+
+    base = (spark.read.parquet(transcripts_path)
+            .filter("text IS NOT NULL AND length(text) >= 3")
+            .limit(24).collect())
+    assert len(base) == 24
+
+    def chunks(r, idxs):
+        c1, c2 = len(r.text) // 3, 2 * len(r.text) // 3
+        parts = [r.text[:c1], r.text[c1:c2], r.text[c2:]]
+        return [(r.conv_id, r.turn_idx, r.role, i, 3, parts[i],
+                 r.tool, r.ts) for i in idxs]
+
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    # phase A file 1: turns 0-7 whole; turns 8-15 MISSING chunk 2
+    # (stay in GroupState across the kill); a duplicate chunk delivery
+    fa1 = sum((chunks(r, [0, 1, 2]) for r in base[:8]), [])
+    fa1 += sum((chunks(r, [0, 1]) for r in base[8:16]), [])
+    fa1 += chunks(base[0], [1])                    # duplicate chunk
+    # phase A file 2: a whole-turn REDELIVERY (all chunks again)
+    fa2 = chunks(base[3], [0, 1, 2])
+    _write_file(spark, fa1, CHUNKS_DDL, f"{src}/fa1", 1_000_000_000)
+    _write_file(spark, fa2, CHUNKS_DDL, f"{src}/fa2", 1_000_000_001)
+
+    def run():
+        stream = (spark.readStream.schema(CHUNKS_DDL)
+                  .option("maxFilesPerTrigger", 1).parquet(f"{src}/*"))
+        q = curate_stream(stream, out, ck, dedup_within="365 days")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()  # ... then "killed" with turns 8-15 half-assembled
+
+    # phase B: the missing chunk 2s (completing restored state),
+    # 8 brand-new turns, and another whole-turn redelivery
+    fb = sum((chunks(r, [2]) for r in base[8:16]), [])
+    fb += sum((chunks(r, [0, 1, 2]) for r in base[16:24]), [])
+    fb += chunks(base[10], [0, 1, 2])              # turn redelivery
+    _write_file(spark, fb, CHUNKS_DDL, f"{src}/fb", 1_000_000_002)
+
+    run()  # resume on the same checkpoint
+
+    logical = spark.createDataFrame(base, spec.TRANSCRIPTS_DDL)
+    want = extract_all(logical)
+    got_txns = sorted(map(tuple, spark.read.parquet(f"{out}/transactions")
+                          .drop("batch_id").collect()))
+    got_spans = sorted(map(tuple, spark.read.parquet(f"{out}/spans")
+                           .drop("batch_id").collect()))
+    assert got_txns == sorted(map(tuple, want.transactions.collect()))
+    assert got_spans == sorted(map(tuple, want.spans.collect()))
+
+    store = ManifestStore(f"{out}/_manifest", prefix="batch")
+    lineage = store.lineage(spark).collect()
+    assert len({m.partition_id for m in lineage}) == len(lineage)
+    # every turn assembled exactly once across the whole run: the
+    # duplicate chunk, the pre-kill redelivery and the post-resume
+    # redelivery all died in dedup/assembler state
+    assert sum(m.rows_in for m in lineage) == 24
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     """dropDuplicatesWithinWatermark: a turn re-delivered in a LATER
     micro-batch (at-least-once upstream) is dropped while inside the
