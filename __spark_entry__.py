@@ -1331,6 +1331,69 @@ _X_STREAM_ASSEMBLE_SQL = (
     "SELECT doc_id, text FROM documents WHERE doc_id < 100")
 
 
+def _q_x_stream_curate(spark, sf_dir):
+    """The composed streaming ingest under the DuckDB gate:
+    dedup_chunks -> assemble_turns in ONE query (streaming/
+    batch_stream.curate_stream's stateful stages). Beyond
+    x_stream_assemble's scattering, the stream carries REDELIVERIES an
+    at-least-once upstream produces: a duplicate chunk file AND a
+    whole-turn redelivery file arriving AFTER those turns were
+    assembled, emitted and dropped from GroupState — only the
+    watermarked chunk dedup stops the re-emit (the assembler alone
+    would assemble the second copy again). Oracle: the documents
+    table, each doc exactly once."""
+    _prep(spark)
+    import shutil
+    import tempfile
+    from bank_statement_pdf_parser_spark.streaming.assembler import (
+        CHUNKS_DDL, assemble_turns)
+    from bank_statement_pdf_parser_spark.streaming.dedup_stream import (
+        dedup_chunks)
+    docs = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+            .select("doc_id", "text"))
+    third = (F.length("text") + 2 - ((F.length("text") + 2) % 3)) / 3
+    clen = third.cast("int")
+    chunks = (docs.select(
+        "doc_id", "text", clen.alias("clen"),
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("ci"))
+        .select(
+            F.concat(F.lit("doc-"), F.col("doc_id")).alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.col("ci").cast("int").alias("chunk_idx"),
+            F.lit(3).cast("int").alias("n_chunks"),
+            F.substring("text", F.col("ci") * F.col("clen") + 1,
+                        F.col("clen")).alias("chunk"),
+            F.lit(None).cast("string").alias("tool"),
+            F.lit("2026-01-05 10:00:00").cast("timestamp").alias("ts"),
+            F.pmod(F.col("doc_id") + F.col("ci"), F.lit(3)).alias("f")))
+    tmp = tempfile.mkdtemp(prefix="x-stream-curate-")
+    for f in range(3):
+        (chunks.filter(F.col("f") == f).drop("f").coalesce(1)
+         .write.parquet(f"{tmp}/src/f{f}"))
+    # f3: duplicate chunk deliveries; f4: whole-turn redeliveries of
+    # the first 25 docs — both AFTER every original chunk
+    (chunks.filter(F.col("f") == 0).drop("f").coalesce(1)
+     .write.parquet(f"{tmp}/src/f3"))
+    (chunks.filter(F.col("doc_id") < 25).drop("f").coalesce(1)
+     .write.parquet(f"{tmp}/src/f4"))
+    stream = (spark.readStream.schema(CHUNKS_DDL)
+              .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/src/*"))
+    q = (assemble_turns(dedup_chunks(stream, within="365 days"),
+                        timeout_ms=None)
+         .writeStream.format("memory").queryName("x_stream_curate")
+         .outputMode("append")
+         .option("checkpointLocation", f"{tmp}/ck").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return (spark.sql("SELECT * FROM x_stream_curate")
+            .select(F.regexp_replace("conv_id", "^doc-", "")
+                    .cast("long").alias("doc_id"), "text"))
+
+
 def _q_x_pivot(spark, sf_dir):
     """Pivot (long -> wide conditional aggregation): per-user event
     value totals by event_type. Sums run in decimal(18,2) so the hash
@@ -1586,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 64-query DuckDB gate log lives at tools/CONTRACT_GATE_r05.log.
     return {
         "x_longdoc": _q_x_longdoc,
+        "x_stream_curate": _q_x_stream_curate,
         "x_token_bpe": _q_x_token_bpe,
         "x_quality_score": _q_x_quality_score,
         "x_fingerprint": _q_x_fingerprint,
@@ -1844,6 +1908,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS cnt "
             "FROM documents GROUP BY md5(text))"),
         "x_longdoc": _X_LONGDOC_SQL,
+        "x_stream_curate": _X_STREAM_ASSEMBLE_SQL,
         "x_token_bpe": (
             "SELECT doc_id, CAST(len(regexp_extract_all("
             "CAST(doc_id AS VARCHAR) || '! ' || text || ' v2.0?', "
