@@ -114,18 +114,22 @@ Reading that ratio: the target was set against the ROUND-3 raw unit
 (~3.4-3.6 s); round 4 made the raw unit 1.65x faster, so the same
 sink wall now divides by a smaller denominator. Against the round-3
 raw unit (3.4 s) this run's sink wall is {100*(sink/3.4-1):+.0f}%.
-The decomposition: one tokenizer pass costs ~1.4 s, and the
-remaining ~3 s is the durable part — parquet-encoding and committing
-all three outputs (records + spans + transactions, ~124 MB nested
-structs) plus one records-sized exchange per output for
-bucket-aligned files. The raw unit persists NOTHING; the sink's
-"overhead" is the write path itself, already minimized this round
-(bucket-aligned repartition before partitionBy: 3.5x fewer files;
-concurrent derived jobs; observe-on-write counts instead of read-back
-jobs — total sink wall 20.0 s -> {sink:.1f} s). Whenever the outputs
-are read even once, staging wins over re-extraction — which is why
-the production path stages records instead of re-running or
-persist()ing the tokenizer (CLAUDE.md note).
+Round-5 decomposition (measured separately, warm): one tokenizer
+pass + lz4 records staging ~1.9 s; spans derivation+write ~0.9 s and
+transactions ~1.4 s (txn normalize — the frozen F1-F5 date/amount
+Catalyst expressions — is the wider derived job), run CONCURRENTLY
+for ~2.2 s combined; per-bucket metric Observations ~0.3 s. Each
+derived output now pays exactly ONE records-sized exchange: the
+bucket column rides the span/txn index windows' partitionBy, so a
+single repartition(n, bucket) on the staged records satisfies both
+the window clustering and the bucket-aligned partitionBy write
+(round 4 paid a window exchange PLUS a sink repartition per output).
+The raw unit persists NOTHING; the remaining overhead IS the durable
+write of three outputs plus their exchanges, and its pieces are all
+semantic (normalize CPU, parquet encode, manifest metrics). Whenever
+the outputs are read even once, staging wins over re-extraction —
+which is why the production path stages records instead of re-running
+or persist()ing the tokenizer (CLAUDE.md note).
 
 The 4-group configuration re-scans the input once per group in this
 parquet sandbox (bucket is a computed column, not a storage

