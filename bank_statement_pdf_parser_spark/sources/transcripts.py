@@ -31,6 +31,12 @@ def load_transcripts(spark: SparkSession, path: str) -> DataFrame:
         return (spark.read.schema(spec.TRANSCRIPTS_DDL)
                 .option("header", True).option("multiLine", True)
                 .option("escape", '"').csv(path))
+    if path.endswith(".orc"):
+        # ORC arrives from Hive-era lakes. Self-describing like
+        # parquet, so no enforced schema (and unlike the parquet
+        # reader, ORC's cannot coerce its stored TIMESTAMP_NTZ to the
+        # spec's session-tz timestamp — enforcing errors the scan)
+        return spark.read.orc(path)
     if path.endswith(".parquet") or "/" in path:
         return spark.read.parquet(path)
     return spark.read.table(path)

@@ -185,7 +185,7 @@ def test_winnow_explode_plan_has_single_hash_copy(spark):
 
 def test_load_transcripts_json_and_csv_roundtrip(spark, transcripts_path,
                                                  tmp_path):
-    """S1 interchange formats: JSONL and CSV dumps load with the
+    """S1 interchange formats: JSONL, CSV and ORC dumps load with the
     transcripts schema ENFORCED and extract identically to the parquet
     source (multiline statement text survives CSV quoting)."""
     from bank_statement_pdf_parser_spark.plans.extract import extract_all
@@ -194,10 +194,12 @@ def test_load_transcripts_json_and_csv_roundtrip(spark, transcripts_path,
     src = spark.read.parquet(transcripts_path).limit(60)
     want = sorted(map(tuple, extract_all(src).transactions.collect()))
     jdir, cdir = str(tmp_path / "t.jsonl"), str(tmp_path / "t.csv")
+    odir = str(tmp_path / "t.orc")
     src.coalesce(1).write.json(jdir)
     (src.coalesce(1).write.option("header", True)
      .option("escape", '"').csv(cdir))
-    for path in (jdir, cdir):
+    src.coalesce(1).write.orc(odir)
+    for path in (jdir, cdir, odir):
         df = load_transcripts(spark, path)
         # schema is ENFORCED from spec (ts arrives as session-tz
         # timestamp rather than parquet's ntz flavor; extraction is
