@@ -116,7 +116,7 @@ def main() -> None:
     runs = int(os.environ.get("SCALING_RUNS", "4"))
     n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "60000"))
     syn_path = os.path.join(
-        REPO, ".cache", "bench", f"transcripts_n{n_convs}_seed42_x32.parquet")
+        REPO, ".cache", "bench", f"transcripts_n{n_convs}_seed42_x16.parquet")
     print(f"loadavg at start: {os.getloadavg()}", flush=True)
 
     results: dict[int, list[dict]] = {n: [], 4 * n: []}

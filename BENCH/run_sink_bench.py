@@ -29,7 +29,12 @@ def main() -> None:
     repeats = int(os.environ.get("SINK_BENCH_REPEATS", "3"))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     corpus = os.path.join(
-        REPO, ".cache", "bench", "transcripts_n6000_seed42_x32.parquet")
+        REPO, ".cache", "bench", "transcripts_n6000_seed42_x16.parquet")
+    if not os.path.exists(corpus):
+        from bank_statement_pdf_parser_spark import fixtures
+        fixtures.write_transcripts_parquet(
+            fixtures.gen_transcripts(n_convs=6000, seed=42), corpus,
+            n_files=16)
 
     from bank_statement_pdf_parser_spark.plans.extract import extract_all
     from bank_statement_pdf_parser_spark.session import get_spark

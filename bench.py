@@ -49,11 +49,18 @@ def _synthetic_path(sf: float) -> str:
         "SPARK_GRAFT_BENCH_CONVS", str(max(100, int(sf * 60000)))))
     cache = os.path.join(REPO, ".cache", "bench")
     os.makedirs(cache, exist_ok=True)
-    path = os.path.join(cache, f"transcripts_n{n_convs}_seed42_x32.parquet")
+    # 16 files = exactly one wave of the 32-core/task.cpus=2 slot pool.
+    # Measured round 5 (tpch corpus, 3 interleaved reps): 16 files
+    # 2.1-2.8 s, 32 files 2.7-3.0 s, 128 files 4.1-5.2 s — per-task
+    # Arrow/python-worker overhead dominates sub-2MB splits, so MORE
+    # tasks is strictly worse once every slot has one. Fewer-but-
+    # balanced also helps every smaller --cpus level (fixed per-task
+    # overhead amortizes over bigger batches).
+    path = os.path.join(cache, f"transcripts_n{n_convs}_seed42_x16.parquet")
     if not os.path.exists(path):
         from bank_statement_pdf_parser_spark import fixtures
         rows = fixtures.gen_transcripts(n_convs=n_convs, seed=42)
-        fixtures.write_transcripts_parquet(rows, path, n_files=32)
+        fixtures.write_transcripts_parquet(rows, path, n_files=16)
     return path
 
 
@@ -121,10 +128,11 @@ def main() -> None:
     mult = int(os.environ.get("SPARK_GRAFT_SALT_MULT", "0"))
     salt = cpus * mult if mult > 0 else None
 
+    # 16 files: one wave of the slot pool — see _synthetic_path note
     tpch_input = os.path.join(REPO, ".cache", "bench",
-                              f"tpch_transcripts_{sf}.parquet")
+                              f"tpch_transcripts_{sf}_x16.parquet")
     if not os.path.exists(tpch_input):
-        transcripts_from_tpch(spark, sf_dir).repartition(32).write.parquet(
+        transcripts_from_tpch(spark, sf_dir).repartition(16).write.parquet(
             tpch_input)
 
     # --- build the suite as (name, thunk) so passes can interleave ---
