@@ -636,6 +636,38 @@ def _q_x_token_stats(spark, sf_dir):
                  F.sum("n_chars").cast("long").alias("total_chars")))
 
 
+def _q_x_percentile(spark, sf_dir):
+    """Exact distribution statistics (A-class coverage beyond A1-A5):
+    per-group EXACT percentiles (not approx sketches — those differ by
+    implementation and can't hash-match an oracle) of lineitem
+    quantity via F.percentile, plus an exact integer median check on
+    discount cents. Interpolation runs in float64 with exact binary
+    fractions (.25/.5/.75) on decimal(15,2)-sourced values, rounded to
+    4dp so both engines' doubles collapse to the same hash. DuckDB
+    oracle: quantile_cont."""
+    _prep(spark)
+    q = F.col("l_quantity").cast("double")
+    cents = (F.col("l_discount").cast("decimal(12,2)") * 100).cast("long")
+    return (_t(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(*[F.round(F.percentile(q, F.lit(p)), 4).alias(n)
+                   for p, n in ((0.25, "q25"), (0.5, "q50"),
+                                (0.75, "q75"))],
+                 F.percentile(cents, F.lit(0.5)).cast("double")
+                 .alias("disc_med")))
+
+
+_X_PERCENTILE_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 4) AS q25,
+       round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.50), 4) AS q50,
+       round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 4) AS q75,
+       CAST(quantile_cont(CAST(CAST(l_discount AS DECIMAL(12,2)) * 100
+                               AS BIGINT), 0.5) AS DOUBLE) AS disc_med
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def _q_x_quality(spark, sf_dir):
     _prep(spark)
     stripped = F.regexp_replace(F.col("text"), "[a-z ]", "")
@@ -1650,6 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "x_longdoc": _q_x_longdoc,
         "x_stream_curate": _q_x_stream_curate,
+        "x_percentile": _q_x_percentile,
         "x_token_bpe": _q_x_token_bpe,
         "x_quality_score": _q_x_quality_score,
         "x_fingerprint": _q_x_fingerprint,
@@ -1909,6 +1942,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY md5(text))"),
         "x_longdoc": _X_LONGDOC_SQL,
         "x_stream_curate": _X_STREAM_ASSEMBLE_SQL,
+        "x_percentile": _X_PERCENTILE_SQL,
         "x_token_bpe": (
             "SELECT doc_id, CAST(len(regexp_extract_all("
             "CAST(doc_id AS VARCHAR) || '! ' || text || ' v2.0?', "
