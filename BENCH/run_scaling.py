@@ -115,8 +115,20 @@ def main() -> None:
     n = int(os.environ.get("SCALING_N", "4"))
     runs = int(os.environ.get("SCALING_RUNS", "4"))
     n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "60000"))
+    # x32 layout PINNED for the controlled estimator: at its 2m splits
+    # the 32-file layout (~7.5MB files, ~4 aligned splits each) runs
+    # local[16] with ~10-25 fewer busy core-s than the 16-file layout
+    # (measured A/B round 5; 15MB files split 8 ways land more split
+    # boundaries mid-row-group). bench.py's own 16-file corpora are a
+    # different regime (4m splits, files below split size) and stay
+    # 16-file; each estimator is internally consistent across levels.
     syn_path = os.path.join(
-        REPO, ".cache", "bench", f"transcripts_n{n_convs}_seed42_x16.parquet")
+        REPO, ".cache", "bench", f"transcripts_n{n_convs}_seed42_x32.parquet")
+    if not os.path.exists(syn_path):
+        from bank_statement_pdf_parser_spark import fixtures
+        fixtures.write_transcripts_parquet(
+            fixtures.gen_transcripts(n_convs=n_convs, seed=42), syn_path,
+            n_files=32)
     print(f"loadavg at start: {os.getloadavg()}", flush=True)
 
     results: dict[int, list[dict]] = {n: [], 4 * n: []}
