@@ -56,6 +56,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
         F.col(ts_col).alias("r_ts"),
         *[F.col(c).alias(f"r_{c}") for c in right_cols])
     if dedup_right:
+        from pyspark.sql.types import MapType
+        rtypes = {f.name: f.dataType for f in right.schema.fields}
+        bad = [c for c in right_cols if isinstance(rtypes[c], MapType)]
+        if bad:
+            raise ValueError(
+                f"dedup_right=True orders the payload struct, and map "
+                f"columns {bad} are not orderable — dedupe the right "
+                f"side yourself and pass dedup_right=False")
         r = (right.groupBy(on, ts_col)
              .agg(F.max(payload).alias("_r"))
              .select(on, ts_col, "_r", F.lit(0).alias("_side")))

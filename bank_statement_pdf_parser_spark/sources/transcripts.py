@@ -32,11 +32,17 @@ def load_transcripts(spark: SparkSession, path: str) -> DataFrame:
                 .option("header", True).option("multiLine", True)
                 .option("escape", '"').csv(path))
     if path.endswith(".orc"):
-        # ORC arrives from Hive-era lakes. Self-describing like
-        # parquet, so no enforced schema (and unlike the parquet
-        # reader, ORC's cannot coerce its stored TIMESTAMP_NTZ to the
-        # spec's session-tz timestamp — enforcing errors the scan)
-        return spark.read.orc(path)
+        # ORC arrives from Hive-era lakes. Self-describing, but the
+        # ORC reader cannot coerce its stored TIMESTAMP_NTZ under an
+        # enforced spec schema (the scan errors), so enforcement is a
+        # post-read projection instead: every spec column cast to its
+        # spec type. A missing/renamed column fails LOUDLY here
+        # (AnalysisException at plan time), a drifted type is cast —
+        # the same drift contract as the other interchange formats.
+        df = spark.read.orc(path)
+        fields = spark.createDataFrame([], spec.TRANSCRIPTS_DDL).schema
+        return df.select(*[F.col(f.name).cast(f.dataType).alias(f.name)
+                           for f in fields])
     if path.endswith(".parquet") or "/" in path:
         return spark.read.parquet(path)
     return spark.read.table(path)

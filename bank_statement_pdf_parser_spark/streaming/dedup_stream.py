@@ -19,6 +19,13 @@ is therefore (length(text), xxhash64(text), xxhash64(41, text)): two
 independently-seeded 64-bit hashes plus the length, ~128 effective
 bits, putting the expected collision count at 10^12 keys below 1e-13.
 The state row stays ~20 bytes/key; text itself never enters state.
+
+MIGRATION: this widened the by_content state-store key from one
+column to three (round 5). A streaming checkpoint written by the
+round-4 single-hash key cannot resume through this operator (Spark
+fails the state schema compatibility check at restart) — drain the
+old stream and start a fresh checkpoint; the watermark horizon
+bounds the duplicate exposure of the cutover to `within`.
 """
 
 from __future__ import annotations

@@ -74,6 +74,25 @@ def test_asof_duplicate_right_rows_dedup_deterministic(spark):
     assert by_id[2].r_v is None
 
 
+def test_asof_dedup_rejects_unorderable_payload(spark):
+    """dedup_right=True orders the payload struct; map columns are not
+    orderable, so the operator must fail FAST with guidance instead of
+    a deep AnalysisException — and still accept them under
+    dedup_right=False (the round-4 behavior for unique right sides)."""
+    import pytest
+    left = spark.createDataFrame(
+        [(1, 10, _ts(150))], "l_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, _ts(100), {"k": "v"})],
+        "user_id long, ts timestamp, attrs map<string,string>")
+    with pytest.raises(ValueError, match="dedup_right=False"):
+        asof_join(left, right, on="user_id", ts_col="ts",
+                  right_cols=("attrs",))
+    row = asof_join(left, right, on="user_id", ts_col="ts",
+                    right_cols=("attrs",), dedup_right=False).collect()[0]
+    assert row.r_attrs == {"k": "v"}
+
+
 def test_range_join_half_open_and_boundaries(spark):
     iv = spark.createDataFrame(
         [(1, _ts(0), _ts(3600)),        # [0, 3600)
