@@ -1338,24 +1338,27 @@ def _q_x_stream_assemble(spark, sf_dir):
             F.lit(None).cast("string").alias("tool"),
             F.lit("2026-01-05 10:00:00").cast("timestamp").alias("ts"),
             F.pmod(F.col("doc_id") + F.col("ci"), F.lit(3)).alias("f")))
-    tmp = tempfile.mkdtemp(prefix="x-stream-assemble-")
-    for f in range(3):
-        (chunks.filter(F.col("f") == f).drop("f").coalesce(1)
-         .write.parquet(f"{tmp}/src/f{f}"))
-    stream = (spark.readStream.schema(CHUNKS_DDL)
-              .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/src/*"))
-    q = (assemble_turns(stream, timeout_ms=None)
-         .writeStream.format("memory").queryName("x_stream_assemble")
-         .outputMode("append")
-         .option("checkpointLocation", f"{tmp}/ck").start())
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    # the memory sink holds the rows; the staging corpus + checkpoint
-    # are no longer needed
     import shutil
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = tempfile.mkdtemp(prefix="x-stream-assemble-")
+    try:
+        for f in range(3):
+            (chunks.filter(F.col("f") == f).drop("f").coalesce(1)
+             .write.parquet(f"{tmp}/src/f{f}"))
+        stream = (spark.readStream.schema(CHUNKS_DDL)
+                  .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/src/*"))
+        q = (assemble_turns(stream, timeout_ms=None)
+             .writeStream.format("memory").queryName("x_stream_assemble")
+             .outputMode("append")
+             .option("checkpointLocation", f"{tmp}/ck").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        # the memory sink holds the rows; the staging corpus +
+        # checkpoint are never needed again — clean up even on failure
+        # so repeated gate runs don't accumulate tempdirs (ADVICE r5)
+        shutil.rmtree(tmp, ignore_errors=True)
     return (spark.sql("SELECT * FROM x_stream_assemble")
             .select(F.regexp_replace("conv_id", "^doc-", "")
                     .cast("long").alias("doc_id"), "text"))
@@ -1402,27 +1405,31 @@ def _q_x_stream_curate(spark, sf_dir):
             F.lit("2026-01-05 10:00:00").cast("timestamp").alias("ts"),
             F.pmod(F.col("doc_id") + F.col("ci"), F.lit(3)).alias("f")))
     tmp = tempfile.mkdtemp(prefix="x-stream-curate-")
-    for f in range(3):
-        (chunks.filter(F.col("f") == f).drop("f").coalesce(1)
-         .write.parquet(f"{tmp}/src/f{f}"))
-    # f3: duplicate chunk deliveries; f4: whole-turn redeliveries of
-    # the first 25 docs — both AFTER every original chunk
-    (chunks.filter(F.col("f") == 0).drop("f").coalesce(1)
-     .write.parquet(f"{tmp}/src/f3"))
-    (chunks.filter(F.col("doc_id") < 25).drop("f").coalesce(1)
-     .write.parquet(f"{tmp}/src/f4"))
-    stream = (spark.readStream.schema(CHUNKS_DDL)
-              .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/src/*"))
-    q = (assemble_turns(dedup_chunks(stream, within="365 days"),
-                        timeout_ms=None)
-         .writeStream.format("memory").queryName("x_stream_curate")
-         .outputMode("append")
-         .option("checkpointLocation", f"{tmp}/ck").start())
     try:
-        q.processAllAvailable()
+        for f in range(3):
+            (chunks.filter(F.col("f") == f).drop("f").coalesce(1)
+             .write.parquet(f"{tmp}/src/f{f}"))
+        # f3: duplicate chunk deliveries; f4: whole-turn redeliveries
+        # of the first 25 docs — both AFTER every original chunk
+        (chunks.filter(F.col("f") == 0).drop("f").coalesce(1)
+         .write.parquet(f"{tmp}/src/f3"))
+        (chunks.filter(F.col("doc_id") < 25).drop("f").coalesce(1)
+         .write.parquet(f"{tmp}/src/f4"))
+        stream = (spark.readStream.schema(CHUNKS_DDL)
+                  .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/src/*"))
+        q = (assemble_turns(dedup_chunks(stream, within="365 days"),
+                            timeout_ms=None)
+             .writeStream.format("memory").queryName("x_stream_curate")
+             .outputMode("append")
+             .option("checkpointLocation", f"{tmp}/ck").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
-    shutil.rmtree(tmp, ignore_errors=True)
+        # clean up even on failure so repeated gate runs don't
+        # accumulate x-stream-curate-* tempdirs (ADVICE r5)
+        shutil.rmtree(tmp, ignore_errors=True)
     return (spark.sql("SELECT * FROM x_stream_curate")
             .select(F.regexp_replace("conv_id", "^doc-", "")
                     .cast("long").alias("doc_id"), "text"))

@@ -86,11 +86,13 @@ def ann_candidate_pairs(sig: DataFrame, id_col: str = "vec_id",
     consumes the returned frame records `dropped_rows` (exact — rows
     whose pairs the guard discarded) and `dropped_buckets` (HLL
     estimate). Without an observation the cap is applied with a plain
-    semi-join and the planner picks the join strategy (at extreme
-    bucket cardinality — many tables x wide signatures — the count
-    table can exceed broadcast limits). With an observation the bucket
-    sizes come back via a broadcast join so the CollectMetrics node
-    sits on the probe side (Spark never reports metrics nodes inside a
+    semi-join and the planner picks the join strategy. With an
+    observation only the OVER-cap bucket list rides a broadcast join —
+    small by construction (at most rows / max_bucket heavy hitters),
+    so the metrics seam scales even when the full bucket-count table
+    (one row per distinct bucket) could never broadcast (ADVICE r5) —
+    and the CollectMetrics node sits on the probe side (Spark never
+    reports metrics nodes inside a
     broadcast exchange). AQE caveat, measured on 4.1: if the cap drops
     EVERY bucket, AQE's empty-relation propagation eliminates the
     CollectMetrics node with the pruned subtree and `observation.get`
@@ -103,15 +105,19 @@ def ann_candidate_pairs(sig: DataFrame, id_col: str = "vec_id",
             .select("table", "bucket")
         sig = sig.join(ok, ["table", "bucket"], "left_semi")
     else:
-        over = F.col("n") > max_bucket
-        sig = (sig.join(F.broadcast(counts), ["table", "bucket"])
+        over_list = (counts.filter(F.col("n") > max_bucket)
+                     .select("table", "bucket",
+                             F.lit(True).alias("_over")))
+        over = F.col("_over").isNotNull()
+        sig = (sig.join(F.broadcast(over_list), ["table", "bucket"],
+                        "left")
                .observe(
                    observation,
                    F.sum(over.cast("long")).alias("dropped_rows"),
                    F.approx_count_distinct(
                        F.when(over, F.concat_ws(":", "table", "bucket")))
                    .alias("dropped_buckets"))
-               .filter(F.col("n") <= max_bucket).drop("n"))
+               .filter(~over).drop("_over"))
     l, r = sig.alias("l"), sig.alias("r")
     return (l.join(r, (F.col("l.table") == F.col("r.table"))
                    & (F.col("l.bucket") == F.col("r.bucket"))
@@ -180,14 +186,16 @@ def ann_multiprobe_pairs(sig: DataFrame, id_col: str = "vec_id",
         ok = counts.filter(F.col("n") <= max_bucket).select("bucket")
         sig = sig.join(ok, ["bucket"], "left_semi")
     else:
-        over = F.col("n") > max_bucket
-        sig = (sig.join(F.broadcast(counts), ["bucket"])
+        over_list = (counts.filter(F.col("n") > max_bucket)
+                     .select("bucket", F.lit(True).alias("_over")))
+        over = F.col("_over").isNotNull()
+        sig = (sig.join(F.broadcast(over_list), ["bucket"], "left")
                .observe(
                    observation,
                    F.sum(over.cast("long")).alias("dropped_rows"),
                    F.approx_count_distinct(F.when(over, F.col("bucket")))
                    .alias("dropped_buckets"))
-               .filter(F.col("n") <= max_bucket).drop("n"))
+               .filter(~over).drop("_over"))
     home = sig.filter(~F.col("is_probe")).alias("l")
     allr = sig.alias("r")
     lid, rid = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")

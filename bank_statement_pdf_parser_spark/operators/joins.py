@@ -56,13 +56,26 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
         F.col(ts_col).alias("r_ts"),
         *[F.col(c).alias(f"r_{c}") for c in right_cols])
     if dedup_right:
-        from pyspark.sql.types import MapType
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        def _has_map(dt) -> bool:
+            # maps are unorderable at ANY nesting depth (struct field,
+            # array element) — walk the whole type, not just the top
+            if isinstance(dt, MapType):
+                return True
+            if isinstance(dt, ArrayType):
+                return _has_map(dt.elementType)
+            if isinstance(dt, StructType):
+                return any(_has_map(f.dataType) for f in dt.fields)
+            return False
+
         rtypes = {f.name: f.dataType for f in right.schema.fields}
-        bad = [c for c in right_cols if isinstance(rtypes[c], MapType)]
+        bad = [c for c in right_cols if _has_map(rtypes[c])]
         if bad:
             raise ValueError(
-                f"dedup_right=True orders the payload struct, and map "
-                f"columns {bad} are not orderable — dedupe the right "
+                f"dedup_right=True orders the payload struct, and "
+                f"columns {bad} contain map types (at any nesting "
+                f"depth), which are not orderable — dedupe the right "
                 f"side yourself and pass dedup_right=False")
         r = (right.groupBy(on, ts_col)
              .agg(F.max(payload).alias("_r"))

@@ -147,19 +147,25 @@ def capped_shared_fp_counts(fps: DataFrame, max_fp_freq: int = 256,
     The cap's recall loss must be observable (repo rule: no silent
     caps): pass a `pyspark.sql.Observation` and the consuming job
     records `dropped_fp_rows` (exact), `dropped_fps` and
-    `docs_affected` (HLL estimates). Same seam as
-    `ann.ann_candidate_pairs`, including its caveats: with an
-    observation the frequencies ride a broadcast join so the
-    CollectMetrics node sits on the probe side, and AQE
-    empty-relation propagation makes metrics unreliable only when the
-    operator returns no pairs at all."""
+    `docs_affected` (HLL estimates). Only the OVER-cap fingerprint
+    list is broadcast — it is small by construction (heavy hitters
+    only: at most total_rows / max_fp_freq entries), so the metrics
+    seam scales exactly like the silent semi-join path even when the
+    full per-fingerprint frequency table has ~one row per distinct
+    fingerprint and could never broadcast (ADVICE r5). Same seam as
+    `ann.ann_candidate_pairs`, including its caveats: the
+    CollectMetrics node sits on the probe side of the broadcast join,
+    and AQE empty-relation propagation makes metrics unreliable only
+    when the operator returns no pairs at all."""
     freq = fps.groupBy("fp").agg(F.count("*").alias("n_fp"))
     if observation is None:
         ok = freq.filter(F.col("n_fp") <= max_fp_freq).select("fp")
         capped = fps.join(ok, "fp", "left_semi")
     else:
-        over = F.col("n_fp") > max_fp_freq
-        capped = (fps.join(F.broadcast(freq), "fp")
+        over_fps = (freq.filter(F.col("n_fp") > max_fp_freq)
+                    .select("fp", F.lit(True).alias("_over")))
+        over = F.col("_over").isNotNull()
+        capped = (fps.join(F.broadcast(over_fps), "fp", "left")
                   .observe(
                       observation,
                       F.sum(over.cast("long")).alias("dropped_fp_rows"),
@@ -168,7 +174,7 @@ def capped_shared_fp_counts(fps: DataFrame, max_fp_freq: int = 256,
                       F.approx_count_distinct(F.when(over,
                                                      F.col("doc_id")))
                       .alias("docs_affected"))
-                  .filter(~over).drop("n_fp"))
+                  .filter(~over).drop("_over"))
     l, r = capped.alias("l"), capped.alias("r")
     return (l.join(r, (F.col("l.fp") == F.col("r.fp"))
                    & (F.col("l.doc_id") < F.col("r.doc_id")))

@@ -22,6 +22,19 @@ nothing else changes.
 State is O(one turn's text) per in-flight key and is dropped on emit,
 so the operator's memory bound is (open turns) x (turn size), not the
 stream length.
+
+Redelivery contract: exact re-emit suppression holds for
+BYTE-IDENTICAL re-chunking (same boundaries, same n_chunks — the
+normal at-least-once case, where the producer replays the same
+records). A redelivery RE-CHUNKED with different boundaries is a
+different record stream: pre-emit, conflicting-layout rows are
+dropped here (first-seen n_chunks wins, so the assembled text is
+always a single consistent copy — never a mix of layouts); post-emit
+(state already removed), the new layout assembles and re-emits a
+second copy, which only downstream content dedup
+(dedup_stream.dedup_turns(by_content=True) or batch
+neardup.exact_dedup) removes. See dedup_stream.dedup_chunks for the
+composition.
 """
 
 from __future__ import annotations
@@ -66,6 +79,14 @@ def _make_assemble(timeout_ms: int | None):
         for pdf in pdfs:
             for row in pdf.itertuples(index=False):
                 ci = int(row.chunk_idx)
+                if n_chunks is not None and int(row.n_chunks) != n_chunks:
+                    # conflicting chunk LAYOUT for this turn (a
+                    # redelivery re-chunked with different boundaries
+                    # slips past key-level dedup): the first-seen
+                    # layout wins and conflicting rows are dropped —
+                    # mixing layouts would concatenate fragments that
+                    # never belonged to one copy (ADVICE r5)
+                    continue
                 if not (0 <= ci < int(row.n_chunks)):
                     # a stray out-of-range index must not substitute
                     # for a missing real fragment in the count-based

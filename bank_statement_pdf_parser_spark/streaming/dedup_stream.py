@@ -55,7 +55,17 @@ def dedup_chunks(chunk_stream: DataFrame,
       applyInPandasWithState feeding a downstream stateful exchange
       throws ClassCastException (ColumnarBatchRow -> UnsafeRow);
       dedup-first keeps the pandas-state operator last before the
-      sink, which is also the plan you want."""
+      sink, which is also the plan you want.
+
+    ASSUMPTION (ADVICE r5): redeliveries are BYTE-IDENTICAL
+    re-chunkings — the same chunk boundaries and n_chunks, as an
+    at-least-once replay of the same records naturally is. A
+    redelivery re-chunked with DIFFERENT boundaries carries novel
+    (turn, chunk_idx) keys that pass this dedup; the assembler then
+    drops conflicting-layout rows pre-emit (first layout wins) but a
+    post-emit re-chunked redelivery re-assembles and re-emits — use
+    dedup_turns(by_content=True) downstream (or batch exact_dedup)
+    when the producer cannot guarantee stable chunking."""
     return (chunk_stream.withWatermark("ts", within)
             .dropDuplicatesWithinWatermark(
                 ["conv_id", "turn_idx", "chunk_idx"]))

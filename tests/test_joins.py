@@ -91,6 +91,17 @@ def test_asof_dedup_rejects_unorderable_payload(spark):
     row = asof_join(left, right, on="user_id", ts_col="ts",
                     right_cols=("attrs",), dedup_right=False).collect()[0]
     assert row.r_attrs == {"k": "v"}
+    # the guard must walk NESTED types too: a map inside a struct (or
+    # an array of structs of maps) is just as unorderable (ADVICE r5)
+    nested = spark.createDataFrame(
+        [(10, _ts(100), ({"k": "v"},), [({"k": "v"},)])],
+        "user_id long, ts timestamp, "
+        "wrap struct<m: map<string,string>>, "
+        "deep array<struct<m: map<string,string>>>")
+    for col in ("wrap", "deep"):
+        with pytest.raises(ValueError, match="dedup_right=False"):
+            asof_join(left, nested, on="user_id", ts_col="ts",
+                      right_cols=(col,))
 
 
 def test_range_join_half_open_and_boundaries(spark):

@@ -165,6 +165,48 @@ def test_stateful_turn_assembler(spark, tmp_path):
     assert got == {("A", 0): "alpha beta gamma", ("B", 1): "hello world"}
 
 
+def test_assembler_drops_conflicting_chunk_layout(spark, tmp_path):
+    """A redelivery RE-CHUNKED with different boundaries (n_chunks=3
+    vs the original 2) slips past key-level dedup; the assembler must
+    drop the conflicting-layout rows instead of mixing fragments from
+    two layouts into corrupted text or emitting early off the larger
+    n_chunks (ADVICE r5). First-seen layout wins; the turn completes
+    with the ORIGINAL bytes when its real missing fragment arrives."""
+    from bank_statement_pdf_parser_spark.streaming.assembler import (
+        CHUNKS_DDL, assemble_turns)
+    import datetime as dt
+    ts = dt.datetime(2026, 1, 5, 10, 0, 0)
+
+    def chunk(conv, idx, n, text):
+        return (conv, 0, "user", idx, n, text, None, ts)
+
+    # batch 1: half of layout-A ("hello " + "world")
+    f1 = [chunk("E", 0, 2, "hello ")]
+    # batch 2: a layout-B re-chunking of the same turn ("hel" / "lo wo"
+    # / "rld") — chunk_idx 1 and 2 are novel keys, n_chunks conflicts
+    f2 = [chunk("E", 1, 3, "lo wo"), chunk("E", 2, 3, "rld")]
+    # batch 3: the real missing layout-A fragment
+    f3 = [chunk("E", 1, 2, "world")]
+    src = str(tmp_path / "chunks")
+    _write_file(spark, f1, CHUNKS_DDL, f"{src}/f1", 1_000_000_000)
+    _write_file(spark, f2, CHUNKS_DDL, f"{src}/f2", 1_000_000_001)
+    _write_file(spark, f3, CHUNKS_DDL, f"{src}/f3", 1_000_000_002)
+
+    stream = (spark.readStream.schema(CHUNKS_DDL)
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/*"))
+    q = (assemble_turns(stream, timeout_ms=None)
+         .writeStream.format("memory").queryName("layout_conflict")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [(r.conv_id, r.turn_idx, r.text)
+           for r in spark.sql("SELECT * FROM layout_conflict").collect()]
+    assert got == [("E", 0, "hello world")]
+
+
 def test_windowed_metrics_drop_late_rows(spark, tmp_path):
     """Watermark + windowed agg: a row arriving behind the watermark is
     dropped; closed windows emit exactly once with the on-time counts."""
