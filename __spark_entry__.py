@@ -1278,6 +1278,54 @@ FROM l ASOF LEFT JOIN r
 """
 
 
+def _q_x_asof_within(spark, sf_dir):
+    """J5 as-of join with a tolerance window (round 6): same
+    purchase<-signup carry as x_asof_join, but a match staler than 2
+    days yields NULLs for the whole payload (row-atomic) — DuckDB/kdb
+    `within` semantics. The oracle replays its native ASOF LEFT JOIN
+    and nulls the payload with the same inclusive epoch-us bound.
+    sf0.01: ~35% of carried matches exceed the bound, so the window
+    genuinely discriminates."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.joins import asof_join
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts")
+    right = (ev.filter(F.col("event_type") == "signup")
+             .groupBy("user_id", "ts")
+             .agg(F.max("event_id").alias("s_id"),
+                  F.max_by("value", "event_id").alias("s_value")))
+    out = asof_join(left, right, on="user_id", ts_col="ts",
+                    right_cols=("s_id", "s_value"), dedup_right=False,
+                    within="2 days")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return out.select(
+        "p_id", "user_id",
+        us("ts").alias("p_us"),
+        F.col("r_s_id").alias("s_id"),
+        F.col("r_s_value").alias("s_value"),
+        (us("ts") - us("r_ts")).alias("gap_us"))
+
+
+_X_ASOF_WITHIN_SQL = """
+WITH l AS (SELECT event_id AS p_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+r AS (SELECT user_id, ts, max(event_id) AS s_id,
+             arg_max(value, event_id) AS s_value
+      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts),
+a AS (SELECT l.p_id, l.user_id, l.ts, r.s_id, r.s_value, r.ts AS r_ts
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts >= r.ts),
+b AS (SELECT *, epoch_us(ts) - epoch_us(r_ts) <= 172800000000 AS ok
+      FROM a)
+SELECT p_id, user_id, epoch_us(ts) AS p_us,
+       CASE WHEN ok THEN s_id END AS s_id,
+       CASE WHEN ok THEN s_value END AS s_value,
+       CASE WHEN ok THEN epoch_us(ts) - epoch_us(r_ts) END AS gap_us
+FROM b
+"""
+
+
 def _q_x_range_join(spark, sf_dir):
     """J5 range join (SURVEY §2.5, implemented round 4): purchases
     falling inside [error.ts, error.ts + 1h) per error event, via the
@@ -1694,6 +1742,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/CONTRACT_GATE_r{N}.log (r05: 67 queries, 0 failures at
     # sf0.001 AND sf0.01).
     return {
+        # --- round-6 additions (never driver-recorded) ---
+        "x_asof_within": _q_x_asof_within,
+        # --- the 17 keys past r05's recording window (driver-recorded
+        # r01-r04 or judge-gated only; leading here so the union of
+        # CORRECTNESS_r05+r06 covers every registered key with a
+        # driver-side row — VERDICT r5 task #3) ---
+        "s6_partition_metrics": _q_s6_partition_metrics,
+        "x_dedup_md5": _q_x_dedup_md5,
+        "x_token_stats": _q_x_token_stats,
+        "x_quality": _q_x_quality,
+        "x_langid": _q_x_langid,
+        "x_ann_cosine": _q_x_ann_cosine,
+        "f6_string_utils": _q_f6_string_utils,
+        "f7_math_dates": _q_f7_math_dates,
+        "w5_frame_agg": _q_w5_frame_agg,
+        "v1_balance_check": _q_v1_balance_check,
+        "x_neardup_pipeline": _q_x_neardup_pipeline,
+        "x_ann_lsh": _q_x_ann_lsh,
+        "x_ann_multiprobe": _q_x_ann_multiprobe,
+        "x_ann_ivf": _q_x_ann_ivf,
+        "x_simhash": _q_x_simhash,
+        "x_lattice_rails": _q_x_lattice_rails,
+        "x_exact_dedup_groups": _q_x_exact_dedup_groups,
+        # --- all green in CORRECTNESS_r05 (recording window backfill;
+        # regression signal past position ~50 is the committed
+        # tools/CONTRACT_GATE log) ---
         "x_longdoc": _q_x_longdoc,
         "x_stream_curate": _q_x_stream_curate,
         "x_percentile": _q_x_percentile,
@@ -1744,23 +1818,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o1_topk_orders": _q_o1_topk_orders,
         "o3_union": _q_o3_union,
         "o4_except": _q_o4_except,
-        "s6_partition_metrics": _q_s6_partition_metrics,
-        "x_dedup_md5": _q_x_dedup_md5,
-        "x_token_stats": _q_x_token_stats,
-        "x_quality": _q_x_quality,
-        "x_langid": _q_x_langid,
-        "x_ann_cosine": _q_x_ann_cosine,
-        "f6_string_utils": _q_f6_string_utils,
-        "f7_math_dates": _q_f7_math_dates,
-        "w5_frame_agg": _q_w5_frame_agg,
-        "v1_balance_check": _q_v1_balance_check,
-        "x_neardup_pipeline": _q_x_neardup_pipeline,
-        "x_ann_lsh": _q_x_ann_lsh,
-        "x_ann_multiprobe": _q_x_ann_multiprobe,
-        "x_ann_ivf": _q_x_ann_ivf,
-        "x_simhash": _q_x_simhash,
-        "x_lattice_rails": _q_x_lattice_rails,
-        "x_exact_dedup_groups": _q_x_exact_dedup_groups,
     }
 
 
@@ -1975,6 +2032,7 @@ def oracle_sql() -> dict[str, str]:
             "'sum') AS BIGINT) AS sum_token_len FROM s"),
         "x_fingerprint": _X_FINGERPRINT_SQL,
         "x_asof_join": _X_ASOF_SQL,
+        "x_asof_within": _X_ASOF_WITHIN_SQL,
         "x_range_join": _X_RANGE_SQL,
         "x_stream_assemble": _X_STREAM_ASSEMBLE_SQL,
         "x_pivot": _X_PIVOT_SQL,

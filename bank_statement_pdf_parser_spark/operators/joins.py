@@ -33,11 +33,19 @@ from pyspark.sql import functions as F
 def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
               ts_col: str = "ts",
               right_cols: tuple[str, ...] = (),
-              dedup_right: bool = True) -> DataFrame:
+              dedup_right: bool = True,
+              within: str | None = None) -> DataFrame:
     """For every left row: the most recent right row with the same
     `on` key and right.ts <= left.ts (NULLs when none — left-join
     semantics). Output: all left columns plus `r_<c>` for each of
     right_cols and `r_ts`.
+
+    `within` bounds match staleness (DuckDB/kdb-style tolerance): a
+    SQL interval string such as '7 days' or '30 minutes'; a carried
+    match older than `left.ts - within` yields NULLs for the whole
+    payload (row-atomic), exactly as if no match existed. The bound is
+    INCLUSIVE (left.ts - right.ts == within still matches). One extra
+    CASE on the carried struct — the single-shuffle plan is unchanged.
 
     The carried payload travels as ONE struct(ts, *right_cols) column
     under a single last(ignorenulls=True) — row-atomic by
@@ -94,6 +102,17 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
     w = (Window.partitionBy(on).orderBy(ts_col, "_side")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     both = both.withColumn("_r", F.last("_r", ignorenulls=True).over(w))
+    if within is not None:
+        import re
+        if not re.fullmatch(r"[0-9]+\s+[A-Za-z]+", within.strip()):
+            raise ValueError(
+                f"within={within!r}: expected a SQL interval string "
+                f"like '7 days' or '30 minutes'")
+        fresh = (F.col(ts_col).cast("timestamp")
+                 <= F.col("_r.r_ts").cast("timestamp")
+                 + F.expr(f"INTERVAL {within.strip()}"))
+        # NULL _r (no match at all) stays NULL: fresh is NULL -> else
+        both = both.withColumn("_r", F.when(fresh, F.col("_r")))
     carried = ["r_ts"] + [f"r_{c}" for c in right_cols]
     return (both.filter(F.col("_side") == 1)
             .select(*left.columns,

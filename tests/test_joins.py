@@ -56,6 +56,36 @@ def test_asof_null_payload_field_stays_row_atomic(spark):
     assert row.r_v is None and row.r_tag is None
 
 
+def test_asof_within_staleness_bound(spark):
+    """within='...' tolerance (round 6): a carried match staler than
+    the bound yields NULLs for the WHOLE payload, the bound is
+    inclusive at exactly within, rows with no match at all still get
+    NULLs, and a malformed interval string fails fast."""
+    import pytest
+    left = spark.createDataFrame(
+        [(1, 10, _ts(100)),    # gap 0      -> fresh
+         (2, 10, _ts(160)),    # gap 60 s   -> exactly at bound, keep
+         (3, 10, _ts(161)),    # gap 61 s   -> stale, NULLs
+         (4, 10, _ts(50)),     # no match   -> NULLs
+         (5, 11, _ts(500))],   # no right rows for user -> NULLs
+        "l_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, _ts(100), 7.0)],
+        "user_id long, ts timestamp, v double")
+    out = {r.l_id: r for r in
+           asof_join(left, right, on="user_id", ts_col="ts",
+                     right_cols=("v",), within="60 seconds").collect()}
+    assert out[1].r_ts == _ts(100) and out[1].r_v == 7.0
+    assert out[2].r_ts == _ts(100) and out[2].r_v == 7.0  # inclusive
+    assert out[3].r_ts is None and out[3].r_v is None     # stale
+    assert out[4].r_ts is None and out[4].r_v is None
+    assert out[5].r_ts is None and out[5].r_v is None
+    assert len(out) == 5
+    with pytest.raises(ValueError, match="interval"):
+        asof_join(left, right, on="user_id", ts_col="ts",
+                  right_cols=("v",), within="60; DROP TABLE").collect()
+
+
 def test_asof_duplicate_right_rows_dedup_deterministic(spark):
     """Duplicate right rows per (key, ts): the operator's built-in
     dedup keeps the struct-wise MAX payload — deterministic, and the
