@@ -1083,6 +1083,61 @@ FROM documents WHERE doc_id < 200
 """
 
 
+def _q_x_png_stats(spark, sf_dir):
+    """REAL compressed-image decode inside Spark (round 6), oracle-
+    gated: each doc_id becomes a genuine PNG — stdlib-zlib deflate,
+    CRC-framed critical chunks, scanline filter doc_id % 5 so all five
+    PNG filters (none/sub/up/average/paeth) are exercised in the gate —
+    whose 4x4 RGB pixels are (doc_id*17 + j*5) % 256. The engine
+    inflates, CRC-checks and un-filters for real
+    (operators/multimodal.decode_png); the per-channel SUMS are pure
+    integer arithmetic for the SQL oracle (sum = mean*16 exactly:
+    /16 is a power-of-two division, lossless in float64)."""
+    _prep(spark)
+    import numpy as np
+    import pandas as pd
+
+    from bank_statement_pdf_parser_spark.operators.multimodal import (
+        IMAGE_STATS_DDL, image_stats_kernel)
+
+    def build(batches):
+        from bank_statement_pdf_parser_spark.operators.multimodal import (
+            encode_png)
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            pays = [encode_png(np.array(
+                [(i * 17 + j * 5) % 256 for j in range(48)],
+                dtype=np.uint8).reshape(4, 4, 3), filter_type=i % 5)
+                for i in ids]
+            if ids:
+                yield pd.DataFrame({"media_id": ids, "payload": pays})
+
+    media = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+             .select("doc_id")
+             .mapInPandas(build, "media_id long, payload binary"))
+    stats = media.mapInPandas(image_stats_kernel(thumb=2), IMAGE_STATS_DDL)
+    return stats.select(
+        "media_id", "height", "width",
+        F.round(F.get("mean_rgb", 0) * 16).cast("long").alias("sum_r"),
+        F.round(F.get("mean_rgb", 1) * 16).cast("long").alias("sum_g"),
+        F.round(F.get("mean_rgb", 2) * 16).cast("long").alias("sum_b"))
+
+
+_X_PNG_STATS_SQL = """
+SELECT d.doc_id AS media_id, CAST(4 AS INTEGER) AS height,
+       CAST(4 AS INTEGER) AS width,
+       CAST(sum(CASE WHEN t.j % 3 = 0
+                THEN (d.doc_id*17 + t.j*5) % 256 END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN t.j % 3 = 1
+                THEN (d.doc_id*17 + t.j*5) % 256 END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN t.j % 3 = 2
+                THEN (d.doc_id*17 + t.j*5) % 256 END) AS BIGINT) AS sum_b
+FROM documents d CROSS JOIN range(0, 48) t(j)
+WHERE d.doc_id < 200
+GROUP BY d.doc_id
+"""
+
+
 def _q_x_audio_stats(spark, sf_dir):
     """REAL audio decode inside Spark, oracle-gated: each doc_id
     becomes a genuine RIFF/WAVE PCM16 file whose 64 samples are
@@ -1743,6 +1798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.001 AND sf0.01).
     return {
         # --- round-6 additions (never driver-recorded) ---
+        "x_png_stats": _q_x_png_stats,
         "x_asof_within": _q_x_asof_within,
         # --- the 17 keys past r05's recording window (driver-recorded
         # r01-r04 or judge-gated only; leading here so the union of
@@ -2033,6 +2089,7 @@ def oracle_sql() -> dict[str, str]:
         "x_fingerprint": _X_FINGERPRINT_SQL,
         "x_asof_join": _X_ASOF_SQL,
         "x_asof_within": _X_ASOF_WITHIN_SQL,
+        "x_png_stats": _X_PNG_STATS_SQL,
         "x_range_join": _X_RANGE_SQL,
         "x_stream_assemble": _X_STREAM_ASSEMBLE_SQL,
         "x_pivot": _X_PIVOT_SQL,

@@ -3,14 +3,16 @@
 Images/audio/video ride as opaque `binary` columns with typed metadata
 structs; decode / feature-extract / resize / frame-sample run as
 Arrow-batched pandas kernels over `mapInPandas`. Image decode is REAL
-for the uncompressed standard formats — PPM (P6) and 24-bit BMP are
-parsed with pure numpy (`decode_ppm` / `decode_bmp24` /
-`decode_image_array`), including thumbnailing via `resize_nearest` —
-no codec library needed. Compressed formats (PNG/JPEG) are gated
-behind an import-try (`decode_image_real`) and raise
-NotImplementedError while PIL is absent in this sandbox. The
-deterministic `FakeMedia` container (16-byte packed header + payload)
-additionally exercises the audio/video plumbing end-to-end.
+for the standard formats this sandbox can express without codec
+libraries — PPM (P6) and 24-bit BMP with pure numpy (`decode_ppm` /
+`decode_bmp24`), and critical-chunk PNG with stdlib zlib + numpy
+un-filtering (`decode_png`: 8-bit grey/RGB/palette/alpha, filters
+0-4, CRC-checked; round 6) — including thumbnailing via
+`resize_nearest`. Remaining compressed formats (JPEG) gate behind an
+import-try (`decode_image_real`) and raise NotImplementedError while
+PIL is absent in this sandbox. The deterministic `FakeMedia`
+container (16-byte packed header + payload) additionally exercises
+the audio/video plumbing end-to-end.
 """
 
 from __future__ import annotations
@@ -151,17 +153,18 @@ def sample_frames(every_k: int = 2):
 
 
 def decode_image_real(payload: bytes):
-    """Compressed-codec path (PNG/JPEG/...), gated: raises
-    NotImplementedError without PIL. Uncompressed standard formats
-    decode for real without PIL — see decode_image_array."""
+    """Residual compressed-codec path (JPEG/...), gated: raises
+    NotImplementedError without PIL. PPM/BMP (pure numpy) and
+    critical-chunk PNG (stdlib zlib) decode for real without PIL —
+    see decode_image_array / decode_png."""
     try:
         from PIL import Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "compressed-image codec libraries are not installed in this "
-            "sandbox; PPM/BMP decode for real via decode_image_array, "
-            "and the FakeMedia container exercises the rest of the "
-            "Spark-side plumbing") from e
+            "JPEG-class codec libraries are not installed in this "
+            "sandbox; PPM/BMP/PNG decode for real via "
+            "decode_image_array, and the FakeMedia container exercises "
+            "the rest of the Spark-side plumbing") from e
     import io
     from PIL import Image
     return Image.open(io.BytesIO(payload))
@@ -256,13 +259,176 @@ def encode_bmp24(img: np.ndarray) -> bytes:
     return header + body
 
 
+# ---------------------------------------------------------------------------
+# real COMPRESSED image codec, no external libraries: critical-chunk
+# PNG is stdlib zlib (inflate + crc32) + numpy un-filtering. 8-bit
+# greyscale / RGB / palette / grey+alpha / RGBA, filter types 0-4,
+# non-interlaced. Adam7 interlacing and sub-8-bit depths are rejected
+# with ValueError; JPEG/H.264 remain legitimately PIL/ffmpeg-gated.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec §9.4), vectorized over channels."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Critical-chunk PNG encoder (stdlib zlib): 8-bit grey (HxW),
+    RGB (HxWx3) or RGBA (HxWx4), applying ONE filter type (0-4) to
+    every scanline. Exists so the decoder's un-filtering can be
+    verified against an independently-constructed encoding of known
+    pixels for each filter type — and to synthesize oracle corpora."""
+    import zlib
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw2 = img.astype(np.int64).reshape(h, w * ch)
+    lines = []
+    prev = np.zeros(w * ch, np.int64)
+    for r in range(h):
+        raw = raw2[r]
+        left = np.concatenate([np.zeros(ch, np.int64), raw[:-ch]])
+        up_left = np.concatenate([np.zeros(ch, np.int64), prev[:-ch]])
+        if filter_type == 0:
+            filt = raw
+        elif filter_type == 1:
+            filt = raw - left
+        elif filter_type == 2:
+            filt = raw - prev
+        elif filter_type == 3:
+            filt = raw - (left + prev) // 2
+        elif filter_type == 4:
+            filt = raw - _paeth(left, prev, up_left)
+        else:
+            raise ValueError(f"unknown filter type {filter_type}")
+        lines.append(bytes([filter_type])
+                     + (filt % 256).astype(np.uint8).tobytes())
+        prev = raw
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Critical-chunk PNG -> HxWxC uint8 (C = 1/2/3/4 by color type;
+    palette images come back as HxWx3 via PLTE lookup). Validates the
+    signature, every chunk CRC, header fields and the exact inflated
+    length; un-filters scanline types 0-4 with numpy recurrences
+    (filter 1 is a per-channel cumsum; 3 and 4 walk pixels with
+    vectorized channel math)."""
+    import zlib
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, ihdr, plte, idat, seen_end = 8, None, None, [], False
+    while pos + 12 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + clen]
+        if len(body) != clen or pos + 12 + clen > len(payload):
+            raise ValueError("PNG chunk truncated")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
+        if crc != zlib.crc32(tag + body) & 0xFFFFFFFF:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            if len(body) % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            seen_end = True
+            break
+        pos += 12 + clen
+    if ihdr is None or not idat or not seen_end:
+        raise ValueError("missing IHDR/IDAT/IEND")
+    w, h, depth, ctype, comp, fmethod, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"only 8-bit depth supported (got {depth})")
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"unknown color type {ctype}")
+    if comp or fmethod:
+        raise ValueError("nonstandard compression/filter method")
+    if interlace:
+        raise ValueError("Adam7 interlacing not supported")
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("inflated scanline data has wrong length")
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    ftypes, data = arr[:, 0], arr[:, 1:].astype(np.int64)
+    recon = np.zeros((h, stride), np.int64)
+    prev = np.zeros(stride, np.int64)
+    for r in range(h):
+        f, line = int(ftypes[r]), data[r]
+        if f == 0:
+            rec = line
+        elif f == 1:
+            # recon[x] = filt[x] + recon[x-ch]: a cumsum down each
+            # channel column of the (w, ch) view, mod-256 at the end
+            # (int64 cannot overflow at any sane width)
+            rec = np.cumsum(line.reshape(w, ch), axis=0).reshape(stride)
+        elif f == 2:
+            rec = line + prev
+        elif f in (3, 4):
+            rec = np.empty(stride, np.int64)
+            l2, p2 = line.reshape(w, ch), (prev % 256).reshape(w, ch)
+            r2 = rec.reshape(w, ch)
+            zero = np.zeros(ch, np.int64)
+            for x in range(w):
+                left = r2[x - 1] if x else zero
+                up_left = p2[x - 1] if x else zero
+                pred = ((left + p2[x]) // 2 if f == 3
+                        else _paeth(left, p2[x], up_left))
+                r2[x] = (l2[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown scanline filter {f}")
+        recon[r] = rec % 256
+        prev = recon[r]
+    img = recon.astype(np.uint8).reshape(h, w, ch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette image without PLTE")
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        img = plte[idx]
+    return img
+
+
 def decode_image_array(payload: bytes) -> np.ndarray:
-    """Any image payload -> HxWx3 uint8: pure-numpy for PPM/BMP,
-    PIL-gated for compressed formats."""
+    """Any image payload -> HxWx3 uint8: pure-numpy for PPM/BMP, pure
+    stdlib-zlib+numpy for critical-chunk PNG, PIL-gated for the rest
+    (JPEG/...). PNG alpha is dropped and greyscale broadcast to RGB."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp24(payload)
+    if payload[:8] == _PNG_SIG:
+        img = decode_png(payload)
+        ch = img.shape[2]
+        if ch == 2:          # grey + alpha -> grey
+            img = img[:, :, :1]
+        elif ch == 4:        # RGBA -> RGB
+            img = img[:, :, :3]
+        if img.shape[2] == 1:
+            img = np.repeat(img, 3, axis=2)
+        return img
     return np.asarray(decode_image_real(payload).convert("RGB"))
 
 

@@ -119,8 +119,126 @@ def test_image_stats_kernel_real_images(spark):
 
 
 def test_compressed_codec_still_gated():
+    # PNG is now a REAL stdlib decode path (round 6); JPEG remains the
+    # PIL-gated residual
     with pytest.raises(NotImplementedError):
+        mm.decode_image_array(b"\xff\xd8\xff\xe0....")
+    # a malformed PNG is a decode ERROR, not a missing-codec gate
+    with pytest.raises(ValueError):
         mm.decode_image_array(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_png_roundtrip_all_filters_and_colortypes():
+    """decode_png inverts every scanline filter (0-4) for grey, RGB
+    and RGBA at sizes that exercise multi-row/multi-pixel recurrences,
+    byte-exact."""
+    rng = np.random.default_rng(7)
+    for shape in [(5, 7, 3), (4, 4, 4), (6, 3), (1, 1, 3), (2, 9, 4)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        want = img if img.ndim == 3 else img[:, :, None]
+        for ft in range(5):
+            got = mm.decode_png(mm.encode_png(img, filter_type=ft))
+            assert np.array_equal(got, want), (shape, ft)
+
+
+def test_png_reference_bytes_hand_built():
+    """Decode a PNG whose bytes are built BY HAND in this test (chunk
+    framing, CRCs and filtered scanlines written out independently of
+    encode_png) — guards against encoder and decoder sharing one
+    misreading of the spec. 2x2 RGB; row 0 filter 0 (none), row 1
+    filter 2 (up: raw = filt + prev row)."""
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    row0 = bytes([10, 20, 30, 40, 50, 60])
+    row1_filt = bytes([5, 6, 7, 8, 9, 10])   # raw row1 = row0 + these
+    scan = b"\x00" + row0 + b"\x02" + row1_filt
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(scan))
+           + chunk(b"IEND", b""))
+    got = mm.decode_png(png)
+    want = np.array([[[10, 20, 30], [40, 50, 60]],
+                     [[15, 26, 37], [48, 59, 70]]], dtype=np.uint8)
+    assert np.array_equal(got, want)
+
+
+def test_png_palette_and_grey_alpha():
+    """Color type 3 (PLTE lookup -> RGB) and 4 (grey+alpha); palette
+    indexes out of range must raise, not index garbage."""
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    scan = b"\x00" + bytes([0, 2]) + b"\x00" + bytes([1, 1])
+    head = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", head)
+           + chunk(b"PLTE", plte) + chunk(b"IDAT", zlib.compress(scan))
+           + chunk(b"IEND", b""))
+    got = mm.decode_png(png)
+    want = np.array([[[255, 0, 0], [0, 0, 255]],
+                     [[0, 255, 0], [0, 255, 0]]], dtype=np.uint8)
+    assert np.array_equal(got, want)
+    # out-of-range palette index
+    bad_scan = b"\x00" + bytes([0, 7]) + b"\x00" + bytes([1, 1])
+    bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", head)
+           + chunk(b"PLTE", plte)
+           + chunk(b"IDAT", zlib.compress(bad_scan)) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="palette index"):
+        mm.decode_png(bad)
+    # grey+alpha: alpha dropped, grey broadcast by decode_image_array
+    ga = np.array([[[7, 200], [9, 100]]], dtype=np.uint8)
+    rgb = mm.decode_image_array(mm.encode_png(ga, 1))
+    assert np.array_equal(rgb, np.array(
+        [[[7, 7, 7], [9, 9, 9]]], dtype=np.uint8))
+
+
+def test_png_validation_rejects_corruption():
+    """CRC flips, truncated IDAT streams, wrong inflated length,
+    interlacing and 16-bit depth all raise ValueError (never a wrong
+    silent decode)."""
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    good = mm.encode_png(img, 0)
+    flipped = bytearray(good)
+    flipped[20] ^= 0xFF                        # inside IHDR body
+    with pytest.raises(ValueError, match="CRC"):
+        mm.decode_png(bytes(flipped))
+    with pytest.raises(ValueError):
+        mm.decode_png(good[:-16])              # IEND truncated away
+    head16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    png16 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", head16)
+             + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+             + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="8-bit"):
+        mm.decode_png(png16)
+    head_i = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    png_i = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", head_i)
+             + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+             + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="interlacing"):
+        mm.decode_png(png_i)
+    # inflated length mismatch (one scanline short)
+    head = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    short = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", head)
+             + chunk(b"IDAT", zlib.compress(b"\x00" * 7))
+             + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="length"):
+        mm.decode_png(short)
 
 
 def test_wav_roundtrip_and_chunk_walking():
