@@ -770,10 +770,20 @@ def _q_x_ann_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = emb.unionByName(
         emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
-    centers = ivf_fit_centers(emb, k=64, seed=7)
-    sig = ivf_buckets(corpus, centers, n_probes=2)
+    # cheap-fit mode (max_iter=3): the gate's invariant — identical
+    # vectors share their nearest centroid — holds for ANY clustering,
+    # and at gate scale each Lloyd iteration is fixed multi-job
+    # overhead (the KMeans fit was ~half the whole contract-gate wall,
+    # VERDICT r5 task #6)
+    centers = ivf_fit_centers(emb, k=64, seed=7, max_iter=3,
+                              init_mode="random")
+    # arrow engine: the interpreted-HOF Catalyst assignment was ~20 s
+    # for this 2000 x (64 centers x 64 dims) corpus; the batched numpy
+    # matmul is sub-second with identical bucket semantics (parity
+    # asserted in test_ivf_arrow_engine_parity)
+    sig = ivf_buckets(corpus, centers, n_probes=2, arrow=True)
     cand = ann_multiprobe_pairs(sig)
-    pairs = verified_cosine_pairs(corpus, cand)
+    pairs = verified_cosine_pairs(corpus, cand, arrow=True)
     return (pairs.filter(F.round("cos", 6) >= 0.99)
             .select("a", "b", F.round("cos", 6).alias("cos_r")))
 
@@ -792,10 +802,14 @@ def _q_x_simhash(spark, sf_dir):
     rev = docs.select(
         "doc_id",
         F.array_join(F.reverse(F.split("text", " ")), " ").alias("text"))
+    # flood size 512 strictly dominates every bit's majority vote: the
+    # corpus max is 99 tokens/doc (all SFs), so the 512 identical
+    # alien contributions outvote the [-99, +99] rest per bit — same
+    # invariant as the old 4000-token flood at 1/8 the exploded volume
     pert = docs.select(
         "doc_id",
         F.concat("text", F.lit(" "),
-                 F.rtrim(F.repeat(F.lit("zzzq "), 4000))).alias("text"))
+                 F.rtrim(F.repeat(F.lit("zzzq "), 512))).alias("text"))
     h0 = simhash64(docs).withColumnRenamed("simhash", "h0")
     h1 = simhash64(rev).withColumnRenamed("simhash", "h1")
     h2 = simhash64(pert).withColumnRenamed("simhash", "h2")

@@ -221,3 +221,28 @@ def test_ann_ivf_recall(spark):
                ._jdf.queryExecution().analyzed().toString())
         for k, c in fitted.items()}
     assert plan_len[64] < plan_len[8] * 1.5, plan_len
+
+
+def test_ivf_arrow_engine_parity(spark):
+    """The Arrow (batched numpy matmul) IVF assignment must return the
+    SAME (vec_id, bucket, is_probe) rows as the pure-Catalyst engine —
+    same nearest/probe centroids, same stable smaller-index tie-break
+    (exercised via duplicated centers, which tie exactly)."""
+    from bank_statement_pdf_parser_spark.operators.ann import (
+        ivf_buckets, ivf_fit_centers)
+    rows = _twin_corpus()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centers = ivf_fit_centers(df, k=8, seed=3)
+    centers = centers + [centers[0]]  # exact duplicate -> every row
+    # nearest to center 0 ties with center 8; both engines must pick 0
+
+    def key(engine_df):
+        return sorted((r.vec_id, r.bucket, r.is_probe)
+                      for r in engine_df.collect())
+
+    for n_probes in (1, 2):
+        cat = key(ivf_buckets(df, centers, n_probes=n_probes))
+        arw = key(ivf_buckets(df, centers, n_probes=n_probes, arrow=True))
+        assert cat == arw
+    assert not any(b == 8 for _, b, _p in
+                   key(ivf_buckets(df, centers, n_probes=1, arrow=True)))
