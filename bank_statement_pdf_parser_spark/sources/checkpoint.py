@@ -22,12 +22,17 @@ Cost shape per bucket group (the 100 TB hot path):
 1. ONE pass over raw text: the fused tokenizer writes the staged
    `records` dataset (txn records + HTML main-span pseudo-records,
    ~1000x smaller than the corpus). Per-bucket INPUT metrics
-   (rows/bytes/conv-id range) ride this same job via `df.observe`
-   conditional aggregates — no separate metrics scan.
+   (rows_in/bytes_in) ride this same job via `df.observe`
+   conditional aggregates — no separate metrics scan. (Only those
+   two: CollectMetrics accumulators cost ~linearly in aggregates x
+   rows, so the conv-id range comes from step 2's pruned staged read
+   instead — see run().)
 2. spans + transactions are derived from the staged records parquet —
    two cheap jobs that never touch raw text, submitted CONCURRENTLY
    (neither saturates the cluster alone; the scheduler interleaves
-   their stages).
+   their stages) alongside the tiny per-bucket conv-range aggregation
+   over the staged records (conv_id_min/max in lineage = the range of
+   the bucket's extracted records; NULL for a bucket with none).
 3. Per-bucket OUTPUT counts ride each write job via `df.observe` —
    they count exactly what that job committed, with no read-back job
    and never a re-run of the extraction DAG.
@@ -58,8 +63,15 @@ BUCKET = "bucket"
 LINEAGE_DDL = (
     "run_id string, partition_id int, conv_id_min string, "
     "conv_id_max string, rows_in long, bytes_in long, rows_out long, "
-    "n_spans long, n_txns long, status string, ts double"
+    "n_spans long, n_txns long, state_rows long, state_bytes long, "
+    "status string, ts double"
 )
+# state_rows/state_bytes: streaming state-store footprint after the
+# micro-batch (sum over stateOperators: dedup + assembler state),
+# amended onto the manifest by the progress listener
+# (streaming/batch_stream.attach_state_metrics). NULL for batch-sink
+# manifests (no state store) and for batches whose progress event was
+# lost to a crash — the metrics are observability, not lineage truth.
 
 
 def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
@@ -98,13 +110,36 @@ class ManifestStore:
             json.dump(metrics, fh)
         os.rename(tmp, path)  # atomic commit
 
+    def amend(self, partition_id: int, extra: dict) -> bool:
+        """Merge `extra` fields into an ALREADY-COMMITTED manifest
+        (atomic replace). Used by the streaming progress listener to
+        attach state-store metrics after the batch's own commit; a
+        no-op (False) when the partition has no manifest — amendments
+        never create lineage rows."""
+        path = os.path.join(self.manifest_dir,
+                            f"{self.prefix}-{partition_id}.json")
+        if not os.path.exists(path):
+            return False
+        with open(path) as fh:
+            data = json.load(fh)
+        data.update(extra)
+        self.commit(partition_id, data)
+        return True
+
     def lineage(self, spark: SparkSession) -> DataFrame:
+        fields = [f.name for f in
+                  spark.createDataFrame([], LINEAGE_DDL).schema.fields]
         rows = []
         for b in sorted(self.committed()):
             path = os.path.join(self.manifest_dir,
                                 f"{self.prefix}-{b}.json")
             with open(path) as fh:
-                rows.append(json.load(fh))
+                m = json.load(fh)
+            # manifests written before an amendment (or by the batch
+            # sink, which has no state store) lack the state fields —
+            # normalize to NULLs (tuples in schema order) so one
+            # schema serves every writer
+            rows.append(tuple(m.get(f) for f in fields))
         return spark.createDataFrame(rows, LINEAGE_DDL)
 
 
@@ -143,12 +178,18 @@ class RunResult:
 
 class CheckpointedExtract:
     def __init__(self, output_dir: str, run_id: str, n_buckets: int = 16,
-                 buckets_per_job: int = 4, mode: str = "fused"):
+                 buckets_per_job: int = 4, mode: str = "fused",
+                 stage_codec: str = "lz4"):
         self.output_dir = output_dir
         self.run_id = run_id
         self.n_buckets = n_buckets
         self.buckets_per_job = buckets_per_job
         self.mode = mode
+        # staged records are transient intra-run data (written once,
+        # read once by the derived jobs) — codec tuned for round-trip
+        # speed, A/B'd in BENCH/run_sink_bench.py; durable outputs
+        # keep snappy
+        self.stage_codec = stage_codec
         self.manifest_dir = os.path.join(output_dir, "_manifest")
         self.store = ManifestStore(self.manifest_dir, prefix="bucket")
 
@@ -193,7 +234,14 @@ class CheckpointedExtract:
             gsrc = src.filter(F.col(BUCKET).isin(group))
 
             # S6: per-bucket input metrics observed ON the extraction job
-            # (conditional aggregates per bucket — no extra input scan)
+            # (conditional aggregates per bucket — no extra input scan).
+            # Only rows_in/bytes_in ride the observation: CollectMetrics
+            # accumulators cost ~linearly in (aggregates x rows)
+            # regardless of expression complexity (measured round 6:
+            # even 128 sum(lit(0)) aggs added ~0.5 s on this corpus),
+            # so the conv-id range moved OFF this job — it is computed
+            # from the staged records by a concurrent pruned-column
+            # job below, where it is practically free.
             obs = Observation()
             aggs = []
             for b in group:
@@ -201,8 +249,6 @@ class CheckpointedExtract:
                 aggs += [
                     F.count(F.when(c, True)).alias(f"rows_in_{b}"),
                     F.sum(F.when(c, F.length("text"))).alias(f"bytes_in_{b}"),
-                    F.min(F.when(c, F.col("conv_id"))).alias(f"cmin_{b}"),
-                    F.max(F.when(c, F.col("conv_id"))).alias(f"cmax_{b}"),
                 ]
             gobs = gsrc.observe(obs, *aggs)
 
@@ -213,14 +259,10 @@ class CheckpointedExtract:
             # costs one exchange of *records*-sized data, the accepted
             # shape (raw text still never shuffles)
             def write_bucketed(out_df, path):
-                # staged records are transient intra-run data (read
-                # once by the derived jobs) — lz4, the shuffle-codec
-                # choice, measured ~10% faster round-trip than snappy;
-                # the durable spans/transactions outputs keep snappy
                 (with_bucket(out_df, self.n_buckets)
                  .repartition(self.n_buckets, BUCKET)
                  .write.mode("overwrite").partitionBy(BUCKET)
-                 .option("compression", "lz4")
+                 .option("compression", self.stage_codec)
                  .parquet(path))
 
             # 1) the ONLY raw-text pass: stage extracted records
@@ -292,20 +334,41 @@ class CheckpointedExtract:
                 # rows at all -> every bucket's count is truly 0
                 return _obs_result(o, lambda: {str(b): 0 for b in group})
 
+            # conv-id range per bucket: a pruned-column aggregation
+            # over the staged records (reads only bucket + conv_id —
+            # a few KB of parquet), riding the same thread pool as the
+            # derived writes. Lineage semantics: the range of the
+            # bucket's EXTRACTED records (post-resolution), NULL when
+            # a bucket produced none — the range that actually
+            # describes the output partition's content.
+            def conv_range():
+                rows = (spark.read
+                        .schema(f"{RECORDS_DDL}, {BUCKET} int")
+                        .parquet(records_dir)
+                        .filter(F.col(BUCKET).isin(group))
+                        .groupBy(BUCKET)
+                        .agg(F.min("conv_id").alias("cmin"),
+                             F.max("conv_id").alias("cmax"))
+                        .collect())
+                return {r[BUCKET]: (r["cmin"], r["cmax"]) for r in rows}
+
             from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=2) as pool:
+            with ThreadPoolExecutor(max_workers=3) as pool:
                 f_sp = pool.submit(observed_write, spans, spans_dir)
                 f_tx = pool.submit(observed_write, txns, txns_dir)
+                f_rng = pool.submit(conv_range)
                 m_spans, m_txns = f_sp.result(), f_tx.result()
+                ranges = f_rng.result()
             out_counts = {b: (m_spans[str(b)] or 0, m_txns[str(b)] or 0)
                           for b in group}
 
             for b in group:
                 n_spans, n_txns = out_counts.get(b, (0, 0))
+                cmin, cmax = ranges.get(b, (None, None))
                 m = {
                     "run_id": self.run_id, "partition_id": b,
-                    "conv_id_min": m_in[f"cmin_{b}"],
-                    "conv_id_max": m_in[f"cmax_{b}"],
+                    "conv_id_min": cmin,
+                    "conv_id_max": cmax,
                     "rows_in": int(m_in[f"rows_in_{b}"] or 0),
                     "bytes_in": int(m_in[f"bytes_in_{b}"] or 0),
                     "rows_out": int(n_spans + n_txns),

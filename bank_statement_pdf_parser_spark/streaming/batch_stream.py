@@ -108,6 +108,71 @@ def extract_stream(transcript_stream: DataFrame, output_dir: str,
             .start())
 
 
+def attach_state_metrics(query, store: ManifestStore, spark=None):
+    """State-store observability (round 6): register a
+    StreamingQueryListener that, after every micro-batch of `query`,
+    amends the batch's committed manifest with the summed
+    stateOperators footprint (state_rows = numRowsTotal,
+    state_bytes = memoryUsedBytes across dedup + assembler state) —
+    so a 10^12-scale operator can alarm on state growth from the SAME
+    lineage table it already reads, no Spark UI scraping.
+
+    Ordering: the foreachBatch body commits the manifest DURING batch
+    N; the progress event fires AFTER batch N completes, so the
+    amendment always finds the manifest (a crash in between leaves
+    state fields NULL for that batch — observability, not lineage
+    truth). Events are filtered by the query's runId; progress events
+    that raced ahead of registration are replayed from a small buffer.
+    The listener unregisters itself when the query terminates."""
+    from pyspark.sql.streaming.listener import StreamingQueryListener
+
+    if spark is None:
+        from pyspark.sql import SparkSession
+        spark = SparkSession.getActiveSession()
+    run_id = str(query.runId)
+
+    class _L(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            if str(p.runId) != run_id:
+                return
+            ops = p.stateOperators
+            if not ops:
+                return
+            store.amend(int(p.batchId), {
+                "state_rows": int(sum(o.numRowsTotal for o in ops)),
+                "state_bytes": int(sum(o.memoryUsedBytes for o in ops)),
+            })
+
+        def onQueryTerminated(self, event):
+            if str(getattr(event, "runId", "")) == run_id:
+                try:
+                    spark.streams.removeListener(self)
+                except Exception:  # session already torn down
+                    pass
+
+    listener = _L()
+    spark.streams.addListener(listener)
+    # progress events are delivered asynchronously; any batch that
+    # completed before addListener took effect is recovered from
+    # recentProgress (same payload the event would have carried)
+    for p in query.recentProgress:
+        if str(p["runId"]) == run_id and p.get("stateOperators"):
+            ops = p["stateOperators"]
+            store.amend(int(p["batchId"]), {
+                "state_rows": int(sum(o["numRowsTotal"] for o in ops)),
+                "state_bytes": int(sum(o["memoryUsedBytes"]
+                                       for o in ops)),
+            })
+    return listener
+
+
 def curate_stream(chunk_stream: DataFrame, output_dir: str,
                   checkpoint_dir: str, run_id: str = "curate",
                   dedup_within: str = "1 hour",
@@ -139,8 +204,10 @@ def curate_stream(chunk_stream: DataFrame, output_dir: str,
         process_micro_batch(batch_df, batch_id, output_dir,
                             store=store, run_id=run_id)
 
-    return (turns.writeStream
-            .option("checkpointLocation", checkpoint_dir)
-            .outputMode("append")
-            .foreachBatch(process_batch)
-            .start())
+    q = (turns.writeStream
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append")
+         .foreachBatch(process_batch)
+         .start())
+    attach_state_metrics(q, store, spark=chunk_stream.sparkSession)
+    return q

@@ -343,6 +343,22 @@ def test_curate_stream_end_to_end_kill_resume(spark, transcripts_path,
     # redelivery all died in dedup/assembler state
     assert sum(m.rows_in for m in lineage) == 24
 
+    # state-store observability (round 6): the progress listener amends
+    # each batch's manifest with the summed stateOperators footprint;
+    # amendments land asynchronously after the batch, so poll briefly
+    deadline = time.time() + 15
+    while time.time() < deadline:
+        lineage = store.lineage(spark).collect()
+        with_state = [m for m in lineage if m.state_rows is not None]
+        if with_state:
+            break
+        time.sleep(0.5)
+    assert with_state, "no lineage row carries state metrics"
+    # dedup state holds watermarked chunk keys; some batch must have
+    # seen a positive state footprint
+    assert any(m.state_rows > 0 for m in with_state)
+    assert all(m.state_bytes >= 0 for m in with_state)
+
 
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     """dropDuplicatesWithinWatermark: a turn re-delivered in a LATER
