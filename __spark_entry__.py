@@ -1395,6 +1395,72 @@ FROM b
 """
 
 
+def _q_x_asof_forward(spark, sf_dir):
+    """J5 forward as-of join (round 6): for every purchase, the
+    EARLIEST error event at-or-after it (same user) — the look-ahead
+    direction (label joining, next-event attribution). Same
+    union-and-window single-shuffle plan traversed in reverse; DuckDB
+    verifies with its native ASOF LEFT JOIN ON l.ts <= r.ts."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.joins import asof_join
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts")
+    right = (ev.filter(F.col("event_type") == "error")
+             .groupBy("user_id", "ts")
+             .agg(F.max("event_id").alias("e_id")))
+    out = asof_join(left, right, on="user_id", ts_col="ts",
+                    right_cols=("e_id",), dedup_right=False,
+                    direction="forward")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return out.select(
+        "p_id", "user_id",
+        us("ts").alias("p_us"),
+        F.col("r_e_id").alias("e_id"),
+        (us("r_ts") - us("ts")).alias("lead_us"))
+
+
+_X_ASOF_FORWARD_SQL = """
+WITH l AS (SELECT event_id AS p_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+r AS (SELECT user_id, ts, max(event_id) AS e_id
+      FROM events WHERE event_type = 'error' GROUP BY user_id, ts)
+SELECT l.p_id, l.user_id, epoch_us(l.ts) AS p_us, r.e_id,
+       epoch_us(r.ts) - epoch_us(l.ts) AS lead_us
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts <= r.ts
+"""
+
+
+def _q_x_stratified_split(spark, sf_dir):
+    """Deterministic stratified train/val split (round 6) — the
+    reproducible-sampling primitive every training-data pipeline
+    needs: assignment is a pure function of the row key (md5 of
+    doc_id + salt, compared lexicographically against a hex threshold
+    — 'cc' ~ 79.7% of the hash space), so it is shuffle-free,
+    engine-independent and stable under re-runs / resumes. Verified
+    stratum-by-stratum: per (lang, split) row counts and exact doc_id
+    sums must match DuckDB computing the same md5 rule."""
+    _prep(spark)
+    h = F.md5(F.concat(F.col("doc_id").cast("string"),
+                       F.lit(":split7")).cast("binary"))
+    split = F.when(h < F.lit("cc"), F.lit("train")).otherwise(F.lit("val"))
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", "lang", split.alias("split"))
+            .groupBy("lang", "split")
+            .agg(F.count("*").alias("n"),
+                 F.sum("doc_id").alias("id_sum")))
+
+
+_X_STRATIFIED_SPLIT_SQL = """
+SELECT lang,
+       CASE WHEN md5(CAST(doc_id AS VARCHAR) || ':split7') < 'cc'
+            THEN 'train' ELSE 'val' END AS split,
+       count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents GROUP BY 1, 2
+"""
+
+
 def _q_x_range_join(spark, sf_dir):
     """J5 range join (SURVEY §2.5, implemented round 4): purchases
     falling inside [error.ts, error.ts + 1h) per error event, via the
@@ -1814,6 +1880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-6 additions (never driver-recorded) ---
         "x_png_stats": _q_x_png_stats,
         "x_asof_within": _q_x_asof_within,
+        "x_asof_forward": _q_x_asof_forward,
+        "x_stratified_split": _q_x_stratified_split,
         # --- the 17 keys past r05's recording window (driver-recorded
         # r01-r04 or judge-gated only; leading here so the union of
         # CORRECTNESS_r05+r06 covers every registered key with a
@@ -2103,6 +2171,8 @@ def oracle_sql() -> dict[str, str]:
         "x_fingerprint": _X_FINGERPRINT_SQL,
         "x_asof_join": _X_ASOF_SQL,
         "x_asof_within": _X_ASOF_WITHIN_SQL,
+        "x_asof_forward": _X_ASOF_FORWARD_SQL,
+        "x_stratified_split": _X_STRATIFIED_SPLIT_SQL,
         "x_png_stats": _X_PNG_STATS_SQL,
         "x_range_join": _X_RANGE_SQL,
         "x_stream_assemble": _X_STREAM_ASSEMBLE_SQL,

@@ -34,11 +34,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
               ts_col: str = "ts",
               right_cols: tuple[str, ...] = (),
               dedup_right: bool = True,
-              within: str | None = None) -> DataFrame:
+              within: str | None = None,
+              direction: str = "backward") -> DataFrame:
     """For every left row: the most recent right row with the same
     `on` key and right.ts <= left.ts (NULLs when none — left-join
     semantics). Output: all left columns plus `r_<c>` for each of
     right_cols and `r_ts`.
+
+    `direction='forward'` flips the match to the EARLIEST right row
+    with right.ts >= left.ts (look-ahead as-of, DuckDB `ON l.ts <=
+    r.ts`) — the same union-and-window plan with the traversal order
+    reversed; `within` then bounds how far AHEAD the match may be
+    (inclusive), mirroring the backward staleness bound.
 
     `within` bounds match staleness (DuckDB/kdb-style tolerance): a
     SQL interval string such as '7 days' or '30 minutes'; a carried
@@ -98,8 +105,15 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
     r = r.select("*", *[F.lit(None).cast(t).alias(n)
                         for n, t in lfields.items() if n not in r.columns])
     both = l.unionByName(r.select(*l.columns))
-    # right rows sort BEFORE left rows at equal ts -> inclusive as-of
-    w = (Window.partitionBy(on).orderBy(ts_col, "_side")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction={direction!r}: expected "
+                         f"'backward' or 'forward'")
+    # right rows sort BEFORE left rows at equal ts -> inclusive as-of;
+    # forward traverses descending ts so last(non-null) is the
+    # EARLIEST right row at-or-after each left row
+    ts_order = (F.col(ts_col).desc() if direction == "forward"
+                else F.col(ts_col).asc())
+    w = (Window.partitionBy(on).orderBy(ts_order, F.col("_side").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     both = both.withColumn("_r", F.last("_r", ignorenulls=True).over(w))
     if within is not None:
@@ -108,9 +122,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
             raise ValueError(
                 f"within={within!r}: expected a SQL interval string "
                 f"like '7 days' or '30 minutes'")
-        fresh = (F.col(ts_col).cast("timestamp")
-                 <= F.col("_r.r_ts").cast("timestamp")
-                 + F.expr(f"INTERVAL {within.strip()}"))
+        bound = F.expr(f"INTERVAL {within.strip()}")
+        lts = F.col(ts_col).cast("timestamp")
+        rts = F.col("_r.r_ts").cast("timestamp")
+        fresh = (rts <= lts + bound if direction == "forward"
+                 else lts <= rts + bound)
         # NULL _r (no match at all) stays NULL: fresh is NULL -> else
         both = both.withColumn("_r", F.when(fresh, F.col("_r")))
     carried = ["r_ts"] + [f"r_{c}" for c in right_cols]

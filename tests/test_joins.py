@@ -86,6 +86,40 @@ def test_asof_within_staleness_bound(spark):
                   right_cols=("v",), within="60; DROP TABLE").collect()
 
 
+def test_asof_forward_direction(spark):
+    """direction='forward': earliest right row at-or-after each left
+    row; inclusive at equal ts; NULLs when no later right row; within
+    bounds the look-AHEAD distance (inclusive)."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts(100)),   # matches r at 100 (tie -> inclusive)
+         (2, 10, _ts(150)),   # matches r at 200, not 100
+         (3, 10, _ts(250)),   # after all right rows -> NULLs
+         (4, 11, _ts(50))],   # user with no right rows -> NULLs
+        "l_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, _ts(100), 7.0), (10, _ts(200), 8.0)],
+        "user_id long, ts timestamp, v double")
+    out = {r.l_id: r for r in
+           asof_join(left, right, on="user_id", ts_col="ts",
+                     right_cols=("v",), direction="forward").collect()}
+    assert out[1].r_ts == _ts(100) and out[1].r_v == 7.0
+    assert out[2].r_ts == _ts(200) and out[2].r_v == 8.0
+    assert out[3].r_ts is None and out[3].r_v is None
+    assert out[4].r_ts is None and out[4].r_v is None
+    assert len(out) == 4
+    # within: row 2's match is 50 s ahead — keep at 50, drop at 49
+    for bound, want in (("50 seconds", 8.0), ("49 seconds", None)):
+        got = {r.l_id: r for r in
+               asof_join(left, right, on="user_id", ts_col="ts",
+                         right_cols=("v",), direction="forward",
+                         within=bound).collect()}
+        assert got[2].r_v == want
+    import pytest
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on="user_id", ts_col="ts",
+                  direction="sideways")
+
+
 def test_asof_duplicate_right_rows_dedup_deterministic(spark):
     """Duplicate right rows per (key, ts): the operator's built-in
     dedup keeps the struct-wise MAX payload — deterministic, and the
