@@ -343,6 +343,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         if crc != zlib.crc32(tag + body) & 0xFFFFFFFF:
             raise ValueError(f"bad CRC in {tag!r} chunk")
         if tag == b"IHDR":
+            if len(body) != 13:
+                raise ValueError("IHDR must be 13 bytes")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif tag == b"PLTE":
             if len(body) % 3:
@@ -367,7 +369,13 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("Adam7 interlacing not supported")
     ch = _PNG_CHANNELS[ctype]
     stride = w * ch
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        # kernels treat ValueError as "undecodable row, skip";
+        # zlib.error escaping would fail the whole Spark stage on one
+        # corrupt-but-CRC-consistent deflate stream
+        raise ValueError(f"IDAT inflate failed: {e}") from e
     if len(raw) != h * (stride + 1):
         raise ValueError("inflated scanline data has wrong length")
     arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)

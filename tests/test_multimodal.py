@@ -239,6 +239,14 @@ def test_png_validation_rejects_corruption():
              + chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="length"):
         mm.decode_png(short)
+    # a CRC-consistent but invalid deflate stream must raise
+    # ValueError, not zlib.error (the kernels' skip-row net catches
+    # only ValueError — zlib.error would fail the whole Spark stage)
+    bad_idat = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", head)
+                + chunk(b"IDAT", b"\x01\x02\x03not-deflate")
+                + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="inflate"):
+        mm.decode_png(bad_idat)
 
 
 def test_wav_roundtrip_and_chunk_walking():
