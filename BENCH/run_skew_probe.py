@@ -46,7 +46,8 @@ def giant_statement(min_bytes: int = 5 << 20) -> str:
     return spec.PAGE_SEP.join(out_pages)
 
 
-def completed_stage_ids(spark) -> set[int]:
+def _rest(spark):
+    """(get, app_id) against the local Spark REST API."""
     base = spark.sparkContext.uiWebUrl
 
     def get(path):
@@ -54,8 +55,13 @@ def completed_stage_ids(spark) -> set[int]:
             return json.load(r)
 
     [app] = get("/applications")
+    return get, app["id"]
+
+
+def completed_stage_ids(spark) -> set[int]:
+    get, app_id = _rest(spark)
     return {st["stageId"] for st in
-            get(f"/applications/{app['id']}/stages?status=COMPLETE")}
+            get(f"/applications/{app_id}/stages?status=COMPLETE")}
 
 
 def task_stats(spark, exclude_stages: set[int] = frozenset()) -> dict:
@@ -63,14 +69,7 @@ def task_stats(spark, exclude_stages: set[int] = frozenset()) -> dict:
     `exclude_stages` — pass the pre-run stage set so warm-up stages
     don't win) with the MAX single-task duration: the stage that ran
     the giant turn. Via the local REST API."""
-    base = spark.sparkContext.uiWebUrl
-
-    def get(path):
-        with urllib.request.urlopen(f"{base}/api/v1{path}") as r:
-            return json.load(r)
-
-    [app] = get("/applications")
-    app_id = app["id"]
+    get, app_id = _rest(spark)
     stages = get(f"/applications/{app_id}/stages?status=COMPLETE")
     best = None
     for st in stages:
@@ -139,12 +138,17 @@ def main() -> None:
             w, n = unit(path)
             walls[name].append(w)
             rows[name] = n
+    # the task-stats run is an EXTRA giant sample; both corpora must
+    # contribute the same sample count to their min() or the extra
+    # draw biases the headline delta toward zero (review r6)
+    w, _ = unit(base_corpus)
+    walls["base"].append(w)
     before = completed_stage_ids(spark)
     w, _ = unit(giant_corpus)          # the measured run for task stats
     walls["giant"].append(w)
     stats = task_stats(spark, exclude_stages=before)
 
-    doc_mb = len(giant_statement()) / (1 << 20)
+    doc_mb = 5.0  # giant_statement(min_bytes=5<<20) stops just past 5 MB
     base_w, giant_w = min(walls["base"]), min(walls["giant"])
     straggler = (stats.get("max_ms", 0) / stats.get("med_ms", 1)
                  if stats else float("nan"))
@@ -154,7 +158,8 @@ Corpus: sf0.1 bench corpus (74,576 turns) vs the same corpus + ONE
 {doc_mb:.1f} MB single-turn DBS statement (pages of ~2,500 distinct
 rendered statements concatenated — distinct so D11 page-carry dedup
 does not suppress the realistic output volume), local[{cpus}],
-task.cpus=2, maxPartitionBytes=4m, best-of-3 interleaved.
+task.cpus=2, maxPartitionBytes=4m, best-of-4 interleaved (equal
+sample counts per corpus; the task-stats run contributes the 4th pair).
 
 | measurement | value |
 |---|---|

@@ -264,7 +264,8 @@ def ivf_buckets(df: DataFrame, centers: list[list[float]],
       INTERPRETED, O(k*dim) lambda dispatches per row. Fine for small
       k; measured ~20 s for 2000 rows at k=64 x dim=64.
     - `arrow=True`: one Arrow-batched numpy matmul per batch
-      (`mapInPandas`; centers ride a SparkContext broadcast). The
+      (`mapInPandas`; centers ride the task closure when small,
+      a SparkContext broadcast above 4 MB). The
       same 2000 x 64 x 64 assignment is a sub-millisecond BLAS call —
       the engine you want whenever k*dim is large enough that the
       interpreted HOF path dominates (production IVF: k in the
@@ -321,13 +322,20 @@ def _ivf_buckets_arrow(df: DataFrame, centers: list[list[float]],
                             + [StructField("bucket", LongType()),
                                StructField("is_probe", BooleanType())])
     cmat = np.asarray(centers, dtype=np.float64)
-    bc = df.sparkSession.sparkContext.broadcast(
-        (cmat, (cmat * cmat).sum(axis=1)))
+    payload = (cmat, (cmat * cmat).sum(axis=1))
+    if cmat.nbytes < (4 << 20):
+        # small quantizers ride the task closure — GC'd with the plan,
+        # no broadcast to leak (sc.broadcast has no auto-destroy and a
+        # long-lived session calling this repeatedly would accumulate
+        # one blob per call; review r6)
+        local, bc = payload, None
+    else:
+        local, bc = None, df.sparkSession.sparkContext.broadcast(payload)
 
     def kernel(batches):
         import numpy as np
         import pandas as pd
-        cm, cn = bc.value
+        cm, cn = local if bc is None else bc.value
         for pdf in batches:
             if not len(pdf):
                 continue

@@ -66,6 +66,14 @@ LINEAGE_DDL = (
     "n_spans long, n_txns long, state_rows long, state_bytes long, "
     "status string, ts double"
 )
+# field names derived once; lineage() must not pay a JVM round-trip
+# (empty createDataFrame) per call just to enumerate them
+LINEAGE_FIELDS = tuple(f.strip().split()[0]
+                       for f in LINEAGE_DDL.split(","))
+# conv_id_min/max semantics (round 6, both engines): the conv-id range
+# of the partition's EXTRACTED OUTPUT (batch sink: staged records;
+# streaming: the batch's committed spans), NULL when the partition
+# produced nothing. rows_in/bytes_in remain INPUT-level.
 # state_rows/state_bytes: streaming state-store footprint after the
 # micro-batch (sum over stateOperators: dedup + assembler state),
 # amended onto the manifest by the progress listener
@@ -90,8 +98,13 @@ class ManifestStore:
     snapshot commit."""
 
     def __init__(self, manifest_dir: str, prefix: str = "bucket"):
+        import threading
         self.manifest_dir = manifest_dir
         self.prefix = prefix
+        # amend() is a read-modify-write; the listener-bus thread and
+        # attach_state_metrics' recentProgress replay can both amend
+        # the same partition, so serialize amendments
+        self._amend_lock = threading.Lock()
         os.makedirs(manifest_dir, exist_ok=True)
 
     def committed(self) -> set[int]:
@@ -103,32 +116,40 @@ class ManifestStore:
         return out
 
     def commit(self, partition_id: int, metrics: dict) -> None:
+        import threading
+        import uuid
         path = os.path.join(self.manifest_dir,
                             f"{self.prefix}-{partition_id}.json")
-        tmp = path + f".tmp.{os.getpid()}"
+        # tmp name unique per (pid, thread, call): the listener-bus
+        # thread and a replay loop may write the same partition's
+        # manifest concurrently — a shared tmp path interleaves writes
+        # or loses a rename (review r6)
+        tmp = (f"{path}.tmp.{os.getpid()}."
+               f"{threading.get_ident()}.{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as fh:
             json.dump(metrics, fh)
         os.rename(tmp, path)  # atomic commit
 
     def amend(self, partition_id: int, extra: dict) -> bool:
         """Merge `extra` fields into an ALREADY-COMMITTED manifest
-        (atomic replace). Used by the streaming progress listener to
-        attach state-store metrics after the batch's own commit; a
-        no-op (False) when the partition has no manifest — amendments
-        never create lineage rows."""
+        (atomic replace, serialized under a lock — read-modify-write).
+        Used by the streaming progress listener to attach state-store
+        metrics after the batch's own commit; a no-op (False) when the
+        partition has no manifest — amendments never create lineage
+        rows."""
         path = os.path.join(self.manifest_dir,
                             f"{self.prefix}-{partition_id}.json")
-        if not os.path.exists(path):
-            return False
-        with open(path) as fh:
-            data = json.load(fh)
-        data.update(extra)
-        self.commit(partition_id, data)
+        with self._amend_lock:
+            if not os.path.exists(path):
+                return False
+            with open(path) as fh:
+                data = json.load(fh)
+            data.update(extra)
+            self.commit(partition_id, data)
         return True
 
     def lineage(self, spark: SparkSession) -> DataFrame:
-        fields = [f.name for f in
-                  spark.createDataFrame([], LINEAGE_DDL).schema.fields]
+        fields = LINEAGE_FIELDS
         rows = []
         for b in sorted(self.committed()):
             path = os.path.join(self.manifest_dir,
@@ -186,9 +207,12 @@ class CheckpointedExtract:
         self.buckets_per_job = buckets_per_job
         self.mode = mode
         # staged records are transient intra-run data (written once,
-        # read once by the derived jobs) — codec tuned for round-trip
-        # speed, A/B'd in BENCH/run_sink_bench.py; durable outputs
-        # keep snappy
+        # read once by the derived jobs). lz4 default from the round-4
+        # measurement (~10% faster round-trip than snappy); a round-6
+        # interleaved A/B at sf0.1 read lz4/zstd/snappy/uncompressed
+        # within host noise of each other, so the knob exists for
+        # other storage tiers, not because the sandbox cares. Durable
+        # spans/transactions outputs keep snappy.
         self.stage_codec = stage_codec
         self.manifest_dir = os.path.join(output_dir, "_manifest")
         self.store = ManifestStore(self.manifest_dir, prefix="bucket")

@@ -38,17 +38,17 @@ def process_micro_batch(batch_df: DataFrame, batch_id: int,
                         run_id: str = "stream") -> None:
     """One micro-batch -> its own batch_id partition (idempotent on
     retry: dynamic overwrite replaces exactly this batch's output).
-    With a ManifestStore, input metrics ride the spans job via
-    df.observe (no extra scan) and output counts come from the freshly
-    committed batch_id partitions (partition-pruned reads), then the
-    batch's manifest is committed atomically."""
+    With a ManifestStore, input rows/bytes ride the spans job via
+    df.observe (no extra scan); output counts AND the conv-id range
+    (OUTPUT-level, same semantics as the batch sink: NULL when the
+    batch extracted nothing) come from the freshly committed batch_id
+    partitions (partition-pruned reads), then the batch's manifest is
+    committed atomically."""
     spark = batch_df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     obs, raw_batch = None, batch_df
     in_aggs = [F.count(F.lit(1)).alias("rows_in"),
-               F.sum(F.length("text")).alias("bytes_in"),
-               F.min("conv_id").alias("cmin"),
-               F.max("conv_id").alias("cmax")]
+               F.sum(F.length("text")).alias("bytes_in")]
     if store is not None:
         obs = Observation()
         batch_df = batch_df.observe(obs, *in_aggs)
@@ -71,17 +71,24 @@ def process_micro_batch(batch_df: DataFrame, batch_id: int,
         bid = F.col("batch_id") == int(batch_id)
         # explicit schemas: an all-empty first batch writes no files
         # to infer from
-        n_spans = (spark.read
-                   .schema(f"{spec.SPANS_DDL}, batch_id int")
-                   .parquet(f"{output_dir}/spans")
-                   .filter(bid).count())
+        # conv range rides the spans read-back (every output conv has
+        # at least one span) — OUTPUT-level, matching the batch sink's
+        # round-6 semantics: NULL when the batch extracted nothing
+        sp = (spark.read
+              .schema(f"{spec.SPANS_DDL}, batch_id int")
+              .parquet(f"{output_dir}/spans")
+              .filter(bid)
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.min("conv_id").alias("cmin"),
+                   F.max("conv_id").alias("cmax")).first())
+        n_spans = sp["n"]
         n_txns = (spark.read
                   .schema(f"{spec.TRANSACTIONS_DDL}, batch_id int")
                   .parquet(f"{output_dir}/transactions")
                   .filter(bid).count())
         store.commit(int(batch_id), {
             "run_id": run_id, "partition_id": int(batch_id),
-            "conv_id_min": m_in["cmin"], "conv_id_max": m_in["cmax"],
+            "conv_id_min": sp["cmin"], "conv_id_max": sp["cmax"],
             "rows_in": int(m_in["rows_in"] or 0),
             "bytes_in": int(m_in["bytes_in"] or 0),
             "rows_out": int(n_spans + n_txns),
