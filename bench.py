@@ -220,6 +220,41 @@ def main() -> None:
         noise = max(noise, wall_spread - busy_spread)
     host_noise = round(max(0.0, noise), 3)
 
+    # host-speed calibration: a FIXED pure-CPU reference workload
+    # (single-thread then all-core numpy matmul, best of 3) measured
+    # at bench time. The hypervisor's steal varies by HOURS-scale
+    # epochs wider than any engine change (round 6 measured the same
+    # binary 3.7x slower across one evening with host_noise ~0.05,
+    # i.e. steadily slow, invisible to the spread flag) — cross-run
+    # comparisons should normalize by this, not assume equal hosts.
+    import numpy as np
+
+    def _calib(threads: int) -> float:
+        # elementwise sqrt/mul/add over 32 MB: GIL-released, no BLAS
+        # internal threading, bandwidth+ALU mix — the same contention
+        # profile as the Arrow tokenizer workers
+        a = np.random.RandomState(7).rand(4_000_000)
+
+        def work(_i=0):
+            x = a
+            for _ in range(10):
+                x = np.sqrt(x * 1.0000001 + 0.5)
+            return float(x[0])
+
+        best_t = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            if threads == 1:
+                work()
+            else:
+                with ThreadPoolExecutor(max_workers=threads) as pool:
+                    list(pool.map(work, range(threads)))
+            best_t = min(best_t, time.perf_counter() - t0)
+        return round(best_t, 3)
+
+    host_calib = {"eltwise_1t_sec": _calib(1),
+                  "eltwise_allcore_sec": _calib(cpus)}
+
     extract_sec = best["extract_tpch"] + best["extract_synthetic"]
     n_turns = tpch_df.count() + syn_df.count()
     detail = {name: {
@@ -244,6 +279,7 @@ def main() -> None:
         "extract_synthetic_concurrent_sec": min(conc),
         "aggregation": "best-of-k per query, interleaved passes",
         "host_noise": host_noise,
+        "host_calib": host_calib,
         "detail": detail,
     }))
     spark.stop()
