@@ -193,8 +193,19 @@ def main() -> None:
     blo = min(lo, key=lambda c: c["wall"])
     bhi = min(hi, key=lambda c: c["wall"])
     eff_ctl = (blo["wall"] / bhi["wall"]) / 4
-    inflate = bhi["busy"] / max(blo["busy"], 0.1) - 1
-    eff_struct = blo["busy"] / max(bhi["busy"], 0.1)
+    # min-BUSY sample per level: steal inflates busy core-seconds, so
+    # the min-busy draw is the least-interfered one. On an oscillating
+    # host the min-WALL draws of the two levels can come from
+    # different interference epochs (round 6: a lucky-calm local[4]
+    # paired with storm-only local[16] samples read 0.72 while every
+    # same-epoch pairing read >=0.77); reported beside the sanctioned
+    # best-wall primary as the cross-epoch check.
+    qlo = min(lo, key=lambda c: c["busy"])
+    qhi = min(hi, key=lambda c: c["busy"])
+    eff_minbusy = (qlo["wall"] / qhi["wall"]) / 4
+    # structural metrics from the least-interfered (min-busy) draws
+    inflate = qhi["busy"] / max(qlo["busy"], 0.1) - 1
+    eff_struct = qlo["busy"] / max(qhi["busy"], 0.1)
 
     wall_n, wall_4n = agg(n, statistics.median), agg(4 * n, statistics.median)
     best_n, best_4n = agg(n, min), agg(4 * n, min)
@@ -228,9 +239,12 @@ adversarial/multi-page/HTML, seed 42); harness: BENCH/run_scaling.py.
 
 **Scaling efficiency {n} -> {4*n} cores: {eff_ctl:.2f}**
 (speedup {blo['wall']/bhi['wall']:.2f}x; target >= 0.8 per
-BASELINE.json). Throughput at both levels (median turns/s over the
-interleaved subprocess runs below): local[{n}] {tput_n:,.0f} turns/s,
-local[{4*n}] {tput_4n:,.0f} turns/s.
+BASELINE.json). Min-busy-sample pairing (the least-interfered draw
+per level — steal inflates busy, and on an oscillating host the two
+levels' best WALLS can come from different interference epochs):
+**{eff_minbusy:.2f}**. Throughput at both levels (median turns/s over
+the interleaved subprocess runs below): local[{n}] {tput_n:,.0f}
+turns/s, local[{4*n}] {tput_4n:,.0f} turns/s.
 
 One harness process runs both levels interleaved lo,hi,hi,lo,lo,hi
 (drift cancels; best-of-3 wall per level), /proc/stat read around
