@@ -119,22 +119,26 @@ Reading that ratio: the target was set against the ROUND-3 raw unit
 (~3.4-3.6 s); round 4 made the raw unit 1.65x faster, so the same
 sink wall now divides by a smaller denominator. Against the round-3
 raw unit (3.4 s) this run's sink wall is {100*(sink/3.4-1):+.0f}%.
-Round-5 decomposition (measured separately, warm): one tokenizer
-pass + lz4 records staging ~1.9 s; spans derivation+write ~0.9 s and
-transactions ~1.4 s (txn normalize — the frozen F1-F5 date/amount
-Catalyst expressions — is the wider derived job), run CONCURRENTLY
-for ~2.2 s combined; per-bucket metric Observations ~0.3 s. Each
-derived output now pays exactly ONE records-sized exchange: the
-bucket column rides the span/txn index windows' partitionBy, so a
-single repartition(n, bucket) on the staged records satisfies both
-the window clustering and the bucket-aligned partitionBy write
-(round 4 paid a window exchange PLUS a sink repartition per output).
-The raw unit persists NOTHING; the remaining overhead IS the durable
-write of three outputs plus their exchanges, and its pieces are all
-semantic (normalize CPU, parquet encode, manifest metrics). Whenever
-the outputs are read even once, staging wins over re-extraction —
-which is why the production path stages records instead of re-running
-or persist()ing the tokenizer (CLAUDE.md note).
+Round-6 decomposition (measured, warm): one tokenizer pass ~1.3 s +
+records staging (lz4 encode ~0.36 s, bucket exchange + 32-partition
+commit ~0.58 s); spans ~1.0 s and transactions ~1.4 s derived jobs
+(txn normalize — the frozen F1-F5 date/amount Catalyst expressions —
+is the wider one) run CONCURRENTLY for ~1.8 s combined alongside the
+pruned-column conv-range job. Round-6 change: the per-bucket input
+observation carries only rows/bytes — CollectMetrics accumulators
+cost ~linearly in (aggregates x rows) regardless of expression
+complexity (even 128 sum(lit(0)) aggs cost ~0.5 s here), and halving
+the aggregate fan moved the ratio from round-5's 1.73 to this run's
+value on a noisier host. Each derived output pays exactly ONE
+records-sized exchange (the bucket column rides the span/txn index
+windows' partitionBy, round 5). The raw unit persists NOTHING; the
+remaining overhead IS the durable write of three outputs plus their
+exchanges — tokenize-again (~1.3 s) vs stage-encode+exchange
+(~0.9 s) + two derived writes whose compute (normalize CPU, window
+sort, parquet encode) the raw unit also pays. Whenever the outputs
+are read even once, staging wins over re-extraction — which is why
+the production path stages records instead of re-running or
+persist()ing the tokenizer (CLAUDE.md note).
 
 The 4-group configuration re-scans the input once per group in this
 parquet sandbox (bucket is a computed column, not a storage
