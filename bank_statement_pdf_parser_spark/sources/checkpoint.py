@@ -33,6 +33,12 @@ Cost shape per bucket group (the 100 TB hot path):
    their stages) alongside the tiny per-bucket conv-range aggregation
    over the staged records (conv_id_min/max in lineage = the range of
    the bucket's extracted records; NULL for a bucket with none).
+3. GROUPS PIPELINE (round 6): while group g's derived jobs run on a
+   single pipeline slot, group g+1's raw pass proceeds on the caller
+   thread — between-phase idle time disappears at multi-group scale.
+   Manifests still commit strictly after their group's writes, in
+   group order; a crash lets in-flight derived work finish (its
+   manifests are legitimate) and reprocesses only unstaged groups.
 3. Per-bucket OUTPUT counts ride each write job via `df.observe` —
    they count exactly what that job committed, with no read-back job
    and never a re-run of the extraction DAG.
@@ -252,8 +258,34 @@ class CheckpointedExtract:
         metrics_all: list[dict] = []
         groups = [todo[i:i + self.buckets_per_job]
                   for i in range(0, len(todo), self.buckets_per_job)]
+        # group PIPELINING (round 6): group g's derived jobs (staged
+        # read -> spans/txns/conv-range -> manifest commits) run on a
+        # single-slot executor while group g+1's raw-text stage job
+        # runs on the caller thread — the cluster never idles between
+        # a group's raw pass and its derived writes. Safe overlap:
+        # derive(g) reads only its own bucket partitions (pruned away
+        # from stage(g+1)'s in-flight writes; _temporary is ignored by
+        # the file index), and manifests still commit strictly after
+        # their group's writes, in group order (one in-flight derive).
+        from concurrent.futures import ThreadPoolExecutor
+        pipeline = ThreadPoolExecutor(max_workers=1)
+        pending = None
+
+        def _await_pending():
+            nonlocal pending
+            if pending is not None:
+                metrics_all.extend(pending.result())
+                pending = None
+
         for gi, group in enumerate(groups):
             if fail_after_groups is not None and gi >= fail_after_groups:
+                # crash simulation: let in-flight derived work finish
+                # (its group's manifests are legitimately committed),
+                # then die before touching this group
+                try:
+                    _await_pending()
+                finally:
+                    pipeline.shutdown(wait=True)
                 raise RuntimeError("simulated crash for resume test")
             gsrc = src.filter(F.col(BUCKET).isin(group))
 
@@ -290,6 +322,8 @@ class CheckpointedExtract:
                  .parquet(path))
 
             # 1) the ONLY raw-text pass: stage extracted records
+            # (synchronous on this thread; overlaps the PREVIOUS
+            # group's derived jobs running on the pipeline slot)
             turns = with_resolved_payload(gobs.drop(BUCKET))
             records = build_records(turns, mode=self.mode, probe=probe)
             write_bucketed(records, records_dir)
@@ -298,111 +332,128 @@ class CheckpointedExtract:
             m_in = _obs_result(
                 obs, lambda: gsrc.agg(*aggs).first().asDict())
 
-            # 2) spans + transactions from the staged records (no raw
-            # text). Explicit schema: skips inference listing, and an
-            # all-empty group writes no files to infer from.
-            #
-            # Fused path: ONE repartition(n, bucket) on the staged
-            # records is the ONLY exchange per derived output — the
-            # bucket column joins the span/txn index windows'
-            # partitionBy (bucket is a function of conv_id, so the
-            # numbering is unchanged), which makes hash(bucket)
-            # satisfy the window's clustering requirement, and the
-            # same clustering makes the partitionBy(bucket) write emit
-            # ~1 file per bucket with no second repartition.
-            from ..operators.tokenize import RECORDS_DDL
-            os.makedirs(records_dir, exist_ok=True)
-            staged = (spark.read
-                      .schema(f"{RECORDS_DDL}, {BUCKET} int")
-                      .parquet(records_dir)
-                      .filter(F.col(BUCKET).isin(group)))
-            if self.mode == "fused":
-                staged = staged.repartition(self.n_buckets, BUCKET)
-                spans = build_spans(None, staged,
-                                    records_include_html=True,
-                                    window_prefix=(BUCKET,))
-                txns = build_transactions(staged,
-                                          window_prefix=(BUCKET,))
-            else:
-                # relational records exclude HTML; the D5 pandas-UDF
-                # branch re-reads the HTML turns (cross-check mode
-                # only, not the hot path — keeps the two-exchange
-                # shape because spans also derive from raw turns)
-                staged = staged.drop(BUCKET)
-                turns2 = with_resolved_payload(gsrc.drop(BUCKET))
-                spans = build_spans(turns2, staged)
-                txns = build_transactions(staged)
-
-            # the two derived jobs share the staged input and neither
-            # saturates the cluster alone — submit them CONCURRENTLY
-            # (Spark's scheduler interleaves their stages) and take the
-            # per-bucket OUTPUT counts from an Observation on each
-            # write job itself: what was counted is exactly what this
-            # job committed, and no read-back job is needed
-            def observed_write(out_df, path):
-                o = Observation()
-                if BUCKET in out_df.columns:
-                    # fused path: already carries bucket AND is hash-
-                    # partitioned on it upstream — no exchange here
-                    bucketed = out_df
-                else:
-                    bucketed = (with_bucket(out_df, self.n_buckets)
-                                .repartition(self.n_buckets, BUCKET))
-                bucketed = bucketed.observe(o, *[
-                    F.count(F.when(F.col(BUCKET) == b, True)).alias(str(b))
-                    for b in group])
-                (bucketed
-                 .write.mode("overwrite").partitionBy(BUCKET)
-                 .parquet(path))
-                # metrics can only be missing when the job wrote no
-                # rows at all -> every bucket's count is truly 0
-                return _obs_result(o, lambda: {str(b): 0 for b in group})
-
-            # conv-id range per bucket: a pruned-column aggregation
-            # over the staged records (reads only bucket + conv_id —
-            # a few KB of parquet), riding the same thread pool as the
-            # derived writes. Lineage semantics: the range of the
-            # bucket's EXTRACTED records (post-resolution), NULL when
-            # a bucket produced none — the range that actually
-            # describes the output partition's content.
-            def conv_range():
-                rows = (spark.read
-                        .schema(f"{RECORDS_DDL}, {BUCKET} int")
-                        .parquet(records_dir)
-                        .filter(F.col(BUCKET).isin(group))
-                        .groupBy(BUCKET)
-                        .agg(F.min("conv_id").alias("cmin"),
-                             F.max("conv_id").alias("cmax"))
-                        .collect())
-                return {r[BUCKET]: (r["cmin"], r["cmax"]) for r in rows}
-
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=3) as pool:
-                f_sp = pool.submit(observed_write, spans, spans_dir)
-                f_tx = pool.submit(observed_write, txns, txns_dir)
-                f_rng = pool.submit(conv_range)
-                m_spans, m_txns = f_sp.result(), f_tx.result()
-                ranges = f_rng.result()
-            out_counts = {b: (m_spans[str(b)] or 0, m_txns[str(b)] or 0)
-                          for b in group}
-
-            for b in group:
-                n_spans, n_txns = out_counts.get(b, (0, 0))
-                cmin, cmax = ranges.get(b, (None, None))
-                m = {
-                    "run_id": self.run_id, "partition_id": b,
-                    "conv_id_min": cmin,
-                    "conv_id_max": cmax,
-                    "rows_in": int(m_in[f"rows_in_{b}"] or 0),
-                    "bytes_in": int(m_in[f"bytes_in_{b}"] or 0),
-                    "rows_out": int(n_spans + n_txns),
-                    "n_spans": int(n_spans), "n_txns": int(n_txns),
-                    "status": "committed", "ts": time.time(),
-                }
-                self._commit(b, m)
-                metrics_all.append(m)
+            _await_pending()
+            pending = pipeline.submit(
+                self._derive_and_commit, spark, group, m_in, gsrc,
+                records_dir, spans_dir, txns_dir)
+        try:
+            _await_pending()
+        finally:
+            pipeline.shutdown(wait=True)
         return RunResult(self.run_id, [b for g in groups for b in g],
                          sorted(done), metrics_all)
+
+    def _derive_and_commit(self, spark, group, m_in, gsrc,
+                           records_dir, spans_dir, txns_dir) -> list[dict]:
+        """Phase 2 of one bucket group: spans + transactions derived
+        from the staged records (no raw text), conv-range aggregation,
+        per-bucket manifest commits. Runs on the pipeline slot so the
+        next group's raw pass can proceed concurrently.
+
+        Explicit schema on the staged read: skips inference listing,
+        and an all-empty group writes no files to infer from.
+
+        Fused path: ONE repartition(n, bucket) on the staged records
+        is the ONLY exchange per derived output — the bucket column
+        joins the span/txn index windows' partitionBy (bucket is a
+        function of conv_id, so the numbering is unchanged), which
+        makes hash(bucket) satisfy the window's clustering
+        requirement, and the same clustering makes the
+        partitionBy(bucket) write emit ~1 file per bucket with no
+        second repartition."""
+        from ..operators.tokenize import RECORDS_DDL
+        os.makedirs(records_dir, exist_ok=True)
+        staged = (spark.read
+                  .schema(f"{RECORDS_DDL}, {BUCKET} int")
+                  .parquet(records_dir)
+                  .filter(F.col(BUCKET).isin(group)))
+        if self.mode == "fused":
+            staged = staged.repartition(self.n_buckets, BUCKET)
+            spans = build_spans(None, staged,
+                                records_include_html=True,
+                                window_prefix=(BUCKET,))
+            txns = build_transactions(staged,
+                                      window_prefix=(BUCKET,))
+        else:
+            # relational records exclude HTML; the D5 pandas-UDF
+            # branch re-reads the HTML turns (cross-check mode
+            # only, not the hot path — keeps the two-exchange
+            # shape because spans also derive from raw turns)
+            staged = staged.drop(BUCKET)
+            turns2 = with_resolved_payload(gsrc.drop(BUCKET))
+            spans = build_spans(turns2, staged)
+            txns = build_transactions(staged)
+
+        # the two derived jobs share the staged input and neither
+        # saturates the cluster alone — submit them CONCURRENTLY
+        # (Spark's scheduler interleaves their stages) and take the
+        # per-bucket OUTPUT counts from an Observation on each
+        # write job itself: what was counted is exactly what this
+        # job committed, and no read-back job is needed
+        def observed_write(out_df, path):
+            o = Observation()
+            if BUCKET in out_df.columns:
+                # fused path: already carries bucket AND is hash-
+                # partitioned on it upstream — no exchange here
+                bucketed = out_df
+            else:
+                bucketed = (with_bucket(out_df, self.n_buckets)
+                            .repartition(self.n_buckets, BUCKET))
+            bucketed = bucketed.observe(o, *[
+                F.count(F.when(F.col(BUCKET) == b, True)).alias(str(b))
+                for b in group])
+            (bucketed
+             .write.mode("overwrite").partitionBy(BUCKET)
+             .parquet(path))
+            # metrics can only be missing when the job wrote no
+            # rows at all -> every bucket's count is truly 0
+            return _obs_result(o, lambda: {str(b): 0 for b in group})
+
+        # conv-id range per bucket: a pruned-column aggregation
+        # over the staged records (reads only bucket + conv_id —
+        # a few KB of parquet), riding the same thread pool as the
+        # derived writes. Lineage semantics: the range of the
+        # bucket's EXTRACTED records (post-resolution), NULL when
+        # a bucket produced none — the range that actually
+        # describes the output partition's content.
+        def conv_range():
+            rows = (spark.read
+                    .schema(f"{RECORDS_DDL}, {BUCKET} int")
+                    .parquet(records_dir)
+                    .filter(F.col(BUCKET).isin(group))
+                    .groupBy(BUCKET)
+                    .agg(F.min("conv_id").alias("cmin"),
+                         F.max("conv_id").alias("cmax"))
+                    .collect())
+            return {r[BUCKET]: (r["cmin"], r["cmax"]) for r in rows}
+
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_sp = pool.submit(observed_write, spans, spans_dir)
+            f_tx = pool.submit(observed_write, txns, txns_dir)
+            f_rng = pool.submit(conv_range)
+            m_spans, m_txns = f_sp.result(), f_tx.result()
+            ranges = f_rng.result()
+        out_counts = {b: (m_spans[str(b)] or 0, m_txns[str(b)] or 0)
+                      for b in group}
+
+        out = []
+        for b in group:
+            n_spans, n_txns = out_counts.get(b, (0, 0))
+            cmin, cmax = ranges.get(b, (None, None))
+            m = {
+                "run_id": self.run_id, "partition_id": b,
+                "conv_id_min": cmin,
+                "conv_id_max": cmax,
+                "rows_in": int(m_in[f"rows_in_{b}"] or 0),
+                "bytes_in": int(m_in[f"bytes_in_{b}"] or 0),
+                "rows_out": int(n_spans + n_txns),
+                "n_spans": int(n_spans), "n_txns": int(n_txns),
+                "status": "committed", "ts": time.time(),
+            }
+            self._commit(b, m)
+            out.append(m)
+        return out
 
     # -- maintenance --------------------------------------------------------
     def compact(self, spark: SparkSession, dataset: str = "transactions",
