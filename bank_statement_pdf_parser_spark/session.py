@@ -16,10 +16,34 @@ from pyspark.sql import SparkSession
 _SHIPPED: set[int] = set()
 
 
+def _containing_zip() -> str | None:
+    """Path of the .zip archive this package was imported from (the
+    `spark-submit --py-files engine.zip` deployment), else None.
+
+    Under zipimport `__file__` is `<...>/engine.zip/<pkg>/session.py` —
+    a path whose .zip component is a real file; `rglob` over such a
+    path yields nothing, so `package_zip` must reuse the archive
+    instead of building an empty one."""
+    p = pathlib.Path(__file__).resolve()
+    for parent in p.parents:
+        if parent.suffix == ".zip" and parent.is_file():
+            return str(parent)
+    return None
+
+
 def package_zip(dest_dir: str | None = None) -> str:
-    """Zip this package for --py-files / addPyFile distribution."""
+    """Zip this package for --py-files / addPyFile distribution.
+
+    When the package is ALREADY running from a --py-files zip, returns
+    that archive (it is, by construction, the package distribution)."""
+    existing = _containing_zip()
+    if existing is not None:
+        return existing
     pkg_dir = pathlib.Path(__file__).resolve().parent
-    dest_dir = dest_dir or tempfile.mkdtemp(prefix="bspp_pyfiles_")
+    if dest_dir is None:
+        dest_dir = tempfile.mkdtemp(prefix="bspp_pyfiles_")
+    else:
+        os.makedirs(dest_dir, exist_ok=True)
     zpath = os.path.join(dest_dir, "bank_statement_pdf_parser_spark.zip")
     with zipfile.ZipFile(zpath, "w") as z:
         for f in sorted(pkg_dir.rglob("*.py")):
