@@ -821,6 +821,41 @@ def _q_x_simhash(spark, sf_dir):
                     .alias("pert_differs")))
 
 
+def _q_x_simhash_neardup(spark, sf_dir):
+    """SimHash Hamming near-dup PAIRS (bit-banding -> capped equi-join
+    -> exact bit_count(xor) verify) with an exact ANSI-SQL oracle via
+    salt dominance: every doc's token stream is flooded with 128 copies
+    of a token derived from its SORTED token bag (md5), and 128
+    strictly outvotes the corpus max of 100 real tokens per bit, so the
+    final simhash equals the salt token's xxhash64 bit pattern exactly.
+    Multiset-equal texts therefore collide at hamming 0 while any other
+    pair sits ~32 bits apart (P[ham<=3] ~ 2.4e-15 per cross-bag pair),
+    so the emitted pair set is EXACTLY the bag-equality self-join the
+    DuckDB oracle replays. Pairs are planted by unioning a
+    reversed-token copy of every 7th doc (same bag, different byte
+    order — md5(text) dedup would NOT catch these); the banding,
+    bucket-cap and verify stages all run for real over 4x16-bit
+    chunks."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.neardup import (
+        simhash64, simhash_neardup_pairs)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    rev = (docs.filter(F.col("doc_id") % 7 == 0)
+           .select((F.col("doc_id") + 100000).alias("doc_id"),
+                   F.array_join(F.reverse(F.split("text", " ")), " ")
+                   .alias("text")))
+    corpus = docs.unionByName(rev)
+    salt = F.md5(F.array_join(F.array_sort(F.split("text", " ")), " "))
+    salted = corpus.select(
+        "doc_id",
+        F.concat("text", F.lit(" "),
+                 F.rtrim(F.repeat(F.concat(salt, F.lit(" ")), 128)))
+        .alias("text"))
+    pairs = simhash_neardup_pairs(simhash64(salted), max_hamming=3)
+    return pairs.select(
+        "a", "b", F.col("hamming").cast("int").alias("hamming"))
+
+
 def _q_x_lattice_rails(spark, sf_dir):
     """D6 generic lattice at corpus scale: every order is its OWN
     document (group_cols=['l_orderkey']), rails are majority-voted
@@ -1878,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.001 AND sf0.01).
     return {
         # --- round-6 additions (never driver-recorded) ---
+        "x_simhash_neardup": _q_x_simhash_neardup,
         "x_png_stats": _q_x_png_stats,
         "x_asof_within": _q_x_asof_within,
         "x_asof_forward": _q_x_asof_forward,
@@ -2122,6 +2158,21 @@ def oracle_sql() -> dict[str, str]:
         "x_simhash": (
             "SELECT doc_id, CAST(0 AS BIGINT) AS ham_reorder, "
             "true AS pert_differs FROM documents WHERE doc_id < 300"),
+        "x_simhash_neardup": (
+            # salt dominance makes the emitted pair set exactly the
+            # bag-equality self-join over the identically-built corpus
+            # (see _q_x_simhash_neardup docstring)
+            "WITH corpus AS ("
+            "SELECT doc_id, text FROM documents "
+            "UNION ALL "
+            "SELECT doc_id + 100000, "
+            "array_to_string(list_reverse(string_split(text, ' ')), ' ') "
+            "FROM documents WHERE doc_id % 7 = 0), "
+            "b AS (SELECT doc_id, "
+            "list_sort(string_split(text, ' ')) AS bag FROM corpus) "
+            "SELECT l.doc_id AS a, r.doc_id AS b, "
+            "CAST(0 AS INTEGER) AS hamming "
+            "FROM b l JOIN b r ON l.bag = r.bag AND l.doc_id < r.doc_id"),
         "x_neardup_pipeline": (
             "SELECT doc_id AS a, doc_id + 100000 AS b, "
             "CAST(1.0 AS DOUBLE) AS jaccard FROM documents"),

@@ -130,6 +130,83 @@ def simhash64(df: DataFrame, text_col: str = "text",
     return agg.select("doc_id", sim.alias("simhash"))
 
 
+def simhash_neardup_pairs(sig: DataFrame, max_hamming: int = 3,
+                          n_bands: int | None = None,
+                          max_bucket: int = 200,
+                          hash_col: str = "simhash",
+                          observation=None) -> DataFrame:
+    """SimHash Hamming near-dup — the pair-finding stage `simhash64`
+    feeds (signatures alone don't dedup anything). Standard bit-banding
+    (Manku/Jain/Sarma, WWW'07 §3): the 64-bit hash is split into
+    `n_bands` contiguous chunks; by pigeonhole any pair within Hamming
+    distance n_bands-1 agrees on at least one whole chunk, so an
+    equi-join on (band_idx, chunk_value) has FULL recall for
+    `max_hamming` <= n_bands-1 (the default n_bands = max_hamming+1
+    guarantees it) while shuffling O(docs x bands), never O(docs^2).
+    Candidates are then verified exactly: hamming =
+    bit_count(xor(h_a, h_b)) <= max_hamming, all Catalyst built-ins.
+
+    Skew cap, same rule as every candidate self-join in this repo: a
+    band bucket of k members yields k^2/2 pairs, so buckets above
+    `max_bucket` are dropped BEFORE the join. The over-cap bucket list
+    is small by construction (<= rows/max_bucket entries), so it is
+    broadcast and removed with a broadcast LEFT ANTI join — the
+    under-cap list, which is ~one row per doc and could never
+    broadcast, is never materialized driver-side. Cap losses must be
+    observable (no silent caps): pass a `pyspark.sql.Observation` to
+    record dropped_band_rows (exact) + docs_affected (HLL estimate);
+    identical-hash floods belong to `exact_dedup`, which runs upstream
+    in every curation composition."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if not 1 <= n_bands <= 64:
+        raise ValueError(f"n_bands must be in [1, 64], got {n_bands}")
+    # chunk widths: as even as possible (64 = sum of n_bands widths);
+    # pigeonhole recall holds for ANY partition of the 64 bit positions
+    base, extra = divmod(64, n_bands)
+    widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
+    offs = [sum(widths[:i]) for i in range(n_bands)]
+    chunks = [
+        F.shiftright(F.col(hash_col), offs[i])
+        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+        for i in range(n_bands)
+    ]
+    bands = sig.select(F.col("doc_id"), F.col(hash_col),
+                       F.posexplode(F.array(*chunks))
+                       .alias("band", "bucket"))
+    over = (bands.groupBy("band", "bucket")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .select("band", "bucket"))
+    if observation is not None:
+        flagged = (bands.join(
+            F.broadcast(over.withColumn("_over", F.lit(True))),
+            ["band", "bucket"], "left"))
+        hit = F.col("_over").isNotNull()
+        bands = (flagged.observe(
+            observation,
+            F.sum(hit.cast("long")).alias("dropped_band_rows"),
+            F.approx_count_distinct(F.when(hit, F.col("doc_id")))
+            .alias("docs_affected"))
+            .filter(~hit).drop("_over"))
+    else:
+        bands = bands.join(F.broadcast(over), ["band", "bucket"],
+                           "left_anti")
+    left, right = bands.alias("l"), bands.alias("r")
+    cand = (left.join(right,
+                      (F.col("l.band") == F.col("r.band"))
+                      & (F.col("l.bucket") == F.col("r.bucket"))
+                      & (F.col("l.doc_id") < F.col("r.doc_id")))
+            .select(F.col("l.doc_id").alias("a"),
+                    F.col(f"l.{hash_col}").alias("ha"),
+                    F.col("r.doc_id").alias("b"),
+                    F.col(f"r.{hash_col}").alias("hb"))
+            .distinct())
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (cand.select("a", "b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
 def capped_shared_fp_counts(fps: DataFrame, max_fp_freq: int = 256,
                             observation=None) -> DataFrame:
     """Pairwise shared-fingerprint counts (a < b, `n_shared`) from an

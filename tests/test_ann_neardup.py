@@ -246,3 +246,62 @@ def test_ivf_arrow_engine_parity(spark):
         assert cat == arw
     assert not any(b == 8 for _, b, _p in
                    key(ivf_buckets(df, centers, n_probes=1, arrow=True)))
+
+
+def test_simhash_banding_recall_and_verify(spark):
+    """Pigeonhole recall at the boundary: with n_bands=4 (16-bit
+    chunks) every pair within hamming 3 shares at least one clean band,
+    even when the 3 flipped bits land in 3 DIFFERENT bands; hamming-4
+    pairs are excluded either by the verify filter (flips concentrated
+    in one band -> still a candidate) or by banding itself (one flip
+    per band -> no shared chunk). Sign bit covered: shiftright is
+    arithmetic but the chunk mask discards the extension."""
+    from bank_statement_pdf_parser_spark.operators.neardup import (
+        simhash_neardup_pairs)
+    def s64(x):  # wrap Python's unbounded xor back into signed 64-bit
+        return ((x + (1 << 63)) % (1 << 64)) - (1 << 63)
+
+    base = -0x123456789ABCDEF1  # sign bit set
+    rows = [
+        (0, base),
+        (1, s64(base ^ (1 << 5))),                         # ham 1, band 0
+        (2, s64(base ^ (1 << 5) ^ (1 << 21) ^ (1 << 40))),  # ham 3, 3 bands
+        (3, s64(base ^ 0b1111)),                           # ham 4, one band
+        (4, s64(base ^ (1 << 5) ^ (1 << 21) ^ (1 << 40) ^ (1 << 60))),
+        (5, s64(base ^ (1 << 63))),                        # ham 1, sign band
+    ]
+    sig = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {(r.a, r.b, r.hamming)
+           for r in simhash_neardup_pairs(sig, max_hamming=3).collect()}
+    assert (0, 1, 1) in got and (0, 5, 1) in got and (0, 2, 3) in got
+    assert (1, 2, 2) in got  # transitive neighbours pair too
+    assert (2, 4, 1) in got and (1, 4, 3) in got
+    # the two hamming-4-from-base docs never pair WITH base: doc 3 is
+    # a surviving candidate killed by the verify filter, doc 4 shares
+    # no band with base at all
+    assert not any({a, b} == {0, 3} or {a, b} == {0, 4} for a, b, _ in got)
+
+
+def test_simhash_cap_drop_is_observable(spark):
+    """A flood of identical signatures (one degenerate band bucket per
+    band) must not go quadratic: the cap drops it before the self-join
+    while a small near-dup pair still surfaces, and the Observation
+    seam reports the loss (over-cap list broadcast, never the
+    under-cap side)."""
+    from pyspark.sql import Observation
+    from bank_statement_pdf_parser_spark.operators.neardup import (
+        simhash_neardup_pairs)
+    hot = 0x0F0F0F0F0F0F0F0F
+    rows = [(i, hot) for i in range(500)]
+    # 0x4A has 3 bits set, all inside band 0 -> candidate via the
+    # other three clean bands, verified at exactly hamming 3
+    rows += [(9001, 0x7A5A5A5A5A5A5A5A),
+             (9002, 0x7A5A5A5A5A5A5A5A ^ 0x4A)]
+    sig = spark.createDataFrame(rows, "doc_id long, simhash long")
+    obs = Observation("simhash_drops")
+    pairs = simhash_neardup_pairs(sig, max_hamming=3, max_bucket=100,
+                                  observation=obs)
+    got = {(r.a, r.b, r.hamming) for r in pairs.collect()}
+    assert got == {(9001, 9002, 3)}
+    assert obs.get["dropped_band_rows"] == 2000  # 500 docs x 4 bands
+    assert obs.get["docs_affected"] >= 450  # HLL estimate of 500
