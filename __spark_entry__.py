@@ -856,6 +856,48 @@ def _q_x_simhash_neardup(spark, sf_dir):
         "a", "b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def _q_x_dedup_keep_one(spark, sf_dir):
+    """The composed near-dup DEDUP pipeline — signatures -> banded
+    pairs -> connected components -> keep the min-id representative of
+    every duplicate family. Same salt-dominance corpus construction as
+    x_simhash_neardup (pairs == token-bag equality, exactly) plus a
+    THIRD copy family (sorted-token text at +200000 for doc_id%14==0)
+    so some components are 3-cliques and keep-one actually has to pick
+    across a multi-member family, not just pairs. Because bag equality
+    is transitive, the component structure is exactly group-by-bag, so
+    the DuckDB oracle is MIN(doc_id) per token bag — the keep-one-of
+    semantics stated in SQL with no graph machinery."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.components import (
+        connected_components)
+    from bank_statement_pdf_parser_spark.operators.neardup import (
+        simhash64, simhash_neardup_pairs)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    rev = (docs.filter(F.col("doc_id") % 7 == 0)
+           .select((F.col("doc_id") + 100000).alias("doc_id"),
+                   F.array_join(F.reverse(F.split("text", " ")), " ")
+                   .alias("text")))
+    srt = (docs.filter(F.col("doc_id") % 14 == 0)
+           .select((F.col("doc_id") + 200000).alias("doc_id"),
+                   F.array_join(F.array_sort(F.split("text", " ")), " ")
+                   .alias("text")))
+    corpus = docs.unionByName(rev).unionByName(srt)
+    salt = F.md5(F.array_join(F.array_sort(F.split("text", " ")), " "))
+    salted = corpus.select(
+        "doc_id",
+        F.concat("text", F.lit(" "),
+                 F.rtrim(F.repeat(F.concat(salt, F.lit(" ")), 128)))
+        .alias("text"))
+    pairs = simhash_neardup_pairs(simhash64(salted), max_hamming=3)
+    comp = connected_components(
+        pairs.select("a", "b"),
+        nodes=corpus.select(F.col("doc_id").alias("id")))
+    # component label IS the min id, so representatives are the rows
+    # whose own id equals their label
+    return (comp.filter(F.col("id") == F.col("component"))
+            .select(F.col("id").alias("doc_id")))
+
+
 def _q_x_lattice_rails(spark, sf_dir):
     """D6 generic lattice at corpus scale: every order is its OWN
     document (group_cols=['l_orderkey']), rails are majority-voted
@@ -900,6 +942,38 @@ def _q_x_exact_dedup_groups(spark, sf_dir):
     return g.agg(F.count("*").alias("n_groups"),
                  F.max("n_copies").alias("max_copies"),
                  F.sum("keep_id").cast("long").alias("sum_keep"))
+
+
+def _q_x_dedup_components(spark, sf_dir):
+    """Near-dup clustering: pair edges -> connected components via
+    iterative hash-min label propagation (operators/components.py),
+    labelling every doc with the min doc_id reachable through any
+    chain of links — the keep-one-of unit a curation pipeline dedups
+    by when similarity chains A~B~C without A~C. Edges are synthesized
+    deterministically from the documents table so both engines build
+    the identical graph: intra-decade chains doc->doc-1 for
+    doc_id%10 in 1..3 (components of 4, propagation depth 3) plus
+    bridges doc->doc-13 for doc_id%40==0 (merges a chain into a
+    distant singleton whose SMALLER id must flow back across the
+    bridge and down the whole chain — 4+ rounds of real iteration).
+    Oracle: DuckDB WITH RECURSIVE transitive closure + MIN — the
+    SQL-native statement of the same fixpoint."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.components import (
+        connected_components)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    dec = F.col("doc_id") % 10
+    chain = (docs.filter((dec >= 1) & (dec <= 3))
+             .select(F.col("doc_id").alias("a"),
+                     (F.col("doc_id") - 1).alias("b")))
+    bridge = (docs.filter((F.col("doc_id") % 40 == 0)
+                          & (F.col("doc_id") >= 13))
+              .select(F.col("doc_id").alias("a"),
+                      (F.col("doc_id") - 13).alias("b")))
+    comp = connected_components(
+        chain.unionByName(bridge),
+        nodes=docs.select(F.col("doc_id").alias("id")))
+    return comp.select(F.col("id").alias("doc_id"), "component")
 
 
 def _q_x_binary_checksum(spark, sf_dir):
@@ -1914,6 +1988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-6 additions (never driver-recorded) ---
         "x_simhash_neardup": _q_x_simhash_neardup,
+        "x_dedup_components": _q_x_dedup_components,
+        "x_dedup_keep_one": _q_x_dedup_keep_one,
         "x_png_stats": _q_x_png_stats,
         "x_asof_within": _q_x_asof_within,
         "x_asof_forward": _q_x_asof_forward,
@@ -2173,6 +2249,40 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l.doc_id AS a, r.doc_id AS b, "
             "CAST(0 AS INTEGER) AS hamming "
             "FROM b l JOIN b r ON l.bag = r.bag AND l.doc_id < r.doc_id"),
+        "x_dedup_components": (
+            # same deterministic edge synthesis; the recursive CTE is
+            # the SQL fixpoint of the hash-min propagation
+            "WITH RECURSIVE "
+            "edges AS ("
+            "SELECT doc_id AS a, doc_id - 1 AS b FROM documents "
+            "WHERE doc_id % 10 BETWEEN 1 AND 3 "
+            "UNION ALL "
+            "SELECT doc_id, doc_id - 13 FROM documents "
+            "WHERE doc_id % 40 = 0 AND doc_id >= 13), "
+            "sym AS (SELECT a, b FROM edges "
+            "UNION SELECT b, a FROM edges), "
+            "reach(id, comp) AS ("
+            "SELECT doc_id, doc_id FROM documents "
+            "UNION "
+            "SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id) "
+            "SELECT id AS doc_id, MIN(comp) AS component "
+            "FROM reach GROUP BY id"),
+        "x_dedup_keep_one": (
+            # bag equality is transitive, so keep-one-per-component ==
+            # MIN(doc_id) per token bag (see _q_x_dedup_keep_one)
+            "WITH corpus AS ("
+            "SELECT doc_id, text FROM documents "
+            "UNION ALL "
+            "SELECT doc_id + 100000, "
+            "array_to_string(list_reverse(string_split(text, ' ')), ' ') "
+            "FROM documents WHERE doc_id % 7 = 0 "
+            "UNION ALL "
+            "SELECT doc_id + 200000, "
+            "array_to_string(list_sort(string_split(text, ' ')), ' ') "
+            "FROM documents WHERE doc_id % 14 = 0), "
+            "b AS (SELECT doc_id, "
+            "list_sort(string_split(text, ' ')) AS bag FROM corpus) "
+            "SELECT MIN(doc_id) AS doc_id FROM b GROUP BY bag"),
         "x_neardup_pipeline": (
             "SELECT doc_id AS a, doc_id + 100000 AS b, "
             "CAST(1.0 AS DOUBLE) AS jaccard FROM documents"),
