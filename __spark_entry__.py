@@ -944,6 +944,27 @@ def _q_x_exact_dedup_groups(spark, sf_dir):
                  F.sum("keep_id").cast("long").alias("sum_keep"))
 
 
+def _q_x_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag every corpus doc containing any
+    contiguous 13-token shingle from a 'benchmark' set (the published
+    n-gram-overlap rule; probes here are 13-token slices cut from
+    every doc_id%50==0 document with >=17 tokens, so probe sources
+    self-flag and genuine cross-doc hits surface too). Broadcast
+    LEFT SEMI against the exploded corpus shingles — no corpus
+    shuffle. Oracle replays the identical slice arithmetic with
+    DuckDB list slicing + generate_series."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.textstats import (
+        contaminated_doc_ids)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.withColumn("_toks", F.split("text", " "))
+    probes = (toks.filter((F.col("doc_id") % 50 == 0)
+                          & (F.size("_toks") >= 17))
+              .select(F.array_join(F.slice("_toks", 5, 13), " ")
+                      .alias("ngram")))
+    return contaminated_doc_ids(docs, probes, n=13)
+
+
 def _q_x_dedup_components(spark, sf_dir):
     """Near-dup clustering: pair edges -> connected components via
     iterative hash-min label propagation (operators/components.py),
@@ -1990,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_simhash_neardup": _q_x_simhash_neardup,
         "x_dedup_components": _q_x_dedup_components,
         "x_dedup_keep_one": _q_x_dedup_keep_one,
+        "x_decontaminate": _q_x_decontaminate,
         "x_png_stats": _q_x_png_stats,
         "x_asof_within": _q_x_asof_within,
         "x_asof_forward": _q_x_asof_forward,
@@ -2267,6 +2289,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id) "
             "SELECT id AS doc_id, MIN(comp) AS component "
             "FROM reach GROUP BY id"),
+        "x_decontaminate": (
+            # identical slice arithmetic: t[i:i+12] is 13 elements
+            # 1-based inclusive, matching Spark's slice(toks, i, 13)
+            "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents), "
+            "bench AS (SELECT array_to_string(t[5:17], ' ') AS ng "
+            "FROM tok WHERE doc_id % 50 = 0 AND len(t) >= 17), "
+            "grams AS (SELECT doc_id, "
+            "array_to_string(t[i:i+12], ' ') AS ng "
+            "FROM tok, UNNEST(generate_series(1, len(t) - 12)) AS g(i)) "
+            "SELECT DISTINCT doc_id FROM grams "
+            "WHERE ng IN (SELECT ng FROM bench)"),
         "x_dedup_keep_one": (
             # bag equality is transitive, so keep-one-per-component ==
             # MIN(doc_id) per token bag (see _q_x_dedup_keep_one)

@@ -110,3 +110,55 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
             lambda s: F.array_min(F.slice(h, s + 1, w))))) \
         .otherwise(F.array().cast("array<long>"))
     return out.withColumn("fps", fps).drop("_ng", "_h")
+
+
+def token_ngrams(text: Column, n: int) -> Column:
+    """Array of whitespace-token n-grams re-joined with single spaces
+    (the canonical decontamination shingle: exact CONTIGUOUS token
+    windows, not hashes, so membership tests are byte-exact). Empty
+    array when the document is shorter than n tokens — the guard also
+    keeps F.sequence from generating a DESCENDING range (Spark's
+    sequence(1, stop) picks step -1 when stop < 1, which would emit
+    garbage grams; DuckDB's generate_series is empty there, so the
+    guard is what keeps the two engines identical). The token array
+    and the index range are staged by the caller-visible expression
+    itself being the only lambda input (HOF rule: nothing inside the
+    lambda re-evaluates a nested array expression)."""
+    toks = text if isinstance(text, Column) else F.col(text)
+    # NOTE: callers pass a STAGED array column (withColumn) per the
+    # HOF rule when text is an expression; plain column refs are fine.
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "))) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+def contaminated_doc_ids(corpus: DataFrame, probes: DataFrame,
+                         n: int = 13, text_col: str = "text",
+                         ngram_col: str = "ngram",
+                         broadcast: bool = True) -> DataFrame:
+    """Benchmark decontamination — the training-data pipeline stage
+    that flags corpus documents containing ANY contiguous token n-gram
+    from a benchmark/eval set, so they can be dropped before training
+    (the standard n-gram-overlap rule used by public LLM data
+    pipelines; n=13 is the widely-published default).
+
+    `probes` is a one-column frame (`ngram_col`) of exact token
+    n-grams. Benchmark suites are tiny next to a 100 TB corpus, so the
+    probe side is broadcast by default and the membership test is a
+    broadcast LEFT SEMI join against the exploded corpus shingles —
+    per-task hash probes, no shuffle of the corpus. Set
+    `broadcast=False` when the probe set is itself large (full eval-
+    suite cross-products); the same plan then shuffles on the gram,
+    which is the correct scale path because gram keys are near-unique
+    (no skew). Returns DISTINCT contaminated `doc_id`s; callers
+    anti-join the corpus against it to drop them."""
+    toks_staged = corpus.withColumn("_toks", F.split(F.col(text_col), " "))
+    grams = (toks_staged
+             .withColumn("_grams", token_ngrams(F.col("_toks"), n))
+             .select("doc_id", F.explode("_grams").alias(ngram_col)))
+    p = probes.select(ngram_col)
+    if broadcast:
+        p = F.broadcast(p)
+    return grams.join(p, ngram_col, "left_semi").select("doc_id").distinct()

@@ -207,3 +207,41 @@ def test_load_transcripts_json_and_csv_roundtrip(spark, transcripts_path,
         assert df.columns == src.columns
         got = sorted(map(tuple, extract_all(df).transactions.collect()))
         assert got == want and got
+
+
+def test_decontamination_ngram_semantics(spark):
+    """Exact contiguous-window membership: hits at document start,
+    end, and interior; a doc with the probe tokens NON-contiguous must
+    not flag; docs shorter than n yield no grams (and the sequence
+    guard keeps Spark from generating a descending index range);
+    broadcast and shuffle paths agree."""
+    from bank_statement_pdf_parser_spark.operators.textstats import (
+        contaminated_doc_ids)
+    probe = "p q r"
+    docs = spark.createDataFrame(
+        [(1, "p q r x y"),          # hit at start
+         (2, "x y p q r"),          # hit at end
+         (3, "x p q r y"),          # interior hit
+         (4, "p q x r y"),          # tokens present, not contiguous
+         (5, "p q"),                # shorter than n
+         (6, "x y z w v")],         # no overlap
+        "doc_id long, text string")
+    probes = spark.createDataFrame([(probe,)], "ngram string")
+    for bcast in (True, False):
+        got = {r.doc_id for r in
+               contaminated_doc_ids(docs, probes, n=3,
+                                    broadcast=bcast).collect()}
+        assert got == {1, 2, 3}, f"broadcast={bcast}"
+
+
+def test_token_ngrams_boundaries(spark):
+    from pyspark.sql import functions as F
+
+    from bank_statement_pdf_parser_spark.operators.textstats import (
+        token_ngrams)
+    df = (spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+          .withColumn("_toks", F.split("text", " "))
+          .select("text", token_ngrams(F.col("_toks"), 3).alias("g")))
+    got = {r.text: r.g for r in df.collect()}
+    assert got["a b c d"] == ["a b c", "b c d"]
+    assert got["a b"] == []
