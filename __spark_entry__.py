@@ -944,6 +944,23 @@ def _q_x_exact_dedup_groups(spark, sf_dir):
                  F.sum("keep_id").cast("long").alias("sum_keep"))
 
 
+def _q_x_repetition(spark, sf_dir):
+    """Repetition-based quality signals (duplicate n-gram fraction
+    family, Gopher/MassiveText-style): exact total + distinct bigram
+    and trigram counts per document, computed SHUFFLE-FREE inside the
+    row via array_distinct over the staged gram arrays (the explode ->
+    groupBy alternative would push every shingle of every document
+    through an exchange for a row-local statistic)."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.textstats import (
+        repetition_signals)
+    docs = (_t(spark, sf_dir, "documents").select("doc_id", "text")
+            .withColumn("_toks", F.split("text", " ")))
+    sig = repetition_signals(F.col("_toks"), ns=(2, 3))
+    return docs.select(
+        "doc_id", *[c.alias(k) for k, c in sig.items()])
+
+
 def _q_x_decontaminate(spark, sf_dir):
     """Benchmark decontamination: flag every corpus doc containing any
     contiguous 13-token shingle from a 'benchmark' set (the published
@@ -2012,6 +2029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_components": _q_x_dedup_components,
         "x_dedup_keep_one": _q_x_dedup_keep_one,
         "x_decontaminate": _q_x_decontaminate,
+        "x_repetition": _q_x_repetition,
         "x_png_stats": _q_x_png_stats,
         "x_asof_within": _q_x_asof_within,
         "x_asof_forward": _q_x_asof_forward,
@@ -2289,6 +2307,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id) "
             "SELECT id AS doc_id, MIN(comp) AS component "
             "FROM reach GROUP BY id"),
+        "x_repetition": (
+            "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents), "
+            "g AS (SELECT doc_id, "
+            "[array_to_string(t[i:i+1], ' ') "
+            "FOR i IN generate_series(1, len(t)-1)] AS g2, "
+            "[array_to_string(t[i:i+2], ' ') "
+            "FOR i IN generate_series(1, len(t)-2)] AS g3 FROM tok) "
+            "SELECT doc_id, CAST(len(g2) AS BIGINT) AS n_2grams, "
+            "CAST(len(list_distinct(g2)) AS BIGINT) "
+            "AS n_distinct_2grams, "
+            "CAST(len(g3) AS BIGINT) AS n_3grams, "
+            "CAST(len(list_distinct(g3)) AS BIGINT) "
+            "AS n_distinct_3grams FROM g"),
         "x_decontaminate": (
             # identical slice arithmetic: t[i:i+12] is 13 elements
             # 1-based inclusive, matching Spark's slice(toks, i, 13)

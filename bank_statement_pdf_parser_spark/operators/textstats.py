@@ -162,3 +162,28 @@ def contaminated_doc_ids(corpus: DataFrame, probes: DataFrame,
     if broadcast:
         p = F.broadcast(p)
     return grams.join(p, ngram_col, "left_semi").select("doc_id").distinct()
+
+
+def repetition_signals(text: Column, ns: tuple[int, ...] = (2, 3)) \
+        -> dict[str, Column]:
+    """Repetition-based quality signals (the published duplicate
+    n-gram-fraction family of filters: a document whose n-grams are
+    mostly repeats of each other is boilerplate/spam, not prose).
+    Returns INTEGER columns — total and distinct n-gram counts per
+    requested n — so cross-engine comparison is exact; callers derive
+    the fraction 1 - distinct/total themselves.
+
+    Deliberately SHUFFLE-FREE: distinct-counting per document uses
+    array_distinct over the staged gram array, entirely inside the
+    row, instead of the explode -> groupBy(doc, gram) formulation
+    whose shuffle volume is every shingle of every document (at
+    corpus scale that is tokens x n rows through an exchange, for a
+    statistic each row can compute locally). Callers must stage the
+    token array with withColumn per the HOF rule before passing it."""
+    out: dict[str, Column] = {}
+    for n in ns:
+        grams = token_ngrams(text, n)
+        out[f"n_{n}grams"] = F.size(grams).cast("long")
+        out[f"n_distinct_{n}grams"] = \
+            F.size(F.array_distinct(grams)).cast("long")
+    return out

@@ -245,3 +245,24 @@ def test_token_ngrams_boundaries(spark):
     got = {r.text: r.g for r in df.collect()}
     assert got["a b c d"] == ["a b c", "b c d"]
     assert got["a b"] == []
+
+
+def test_repetition_signals_planted(spark):
+    """'a b a b a b' has 5 bigrams but only 2 distinct (duplicate
+    n-gram fraction 0.6) — the signal a repetition filter keys on;
+    a no-repeat doc is distinct-equal; short docs are all zeros."""
+    from pyspark.sql import functions as F
+
+    from bank_statement_pdf_parser_spark.operators.textstats import (
+        repetition_signals)
+    df = (spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "w x y z"), (3, "q")],
+        "doc_id long, text string")
+        .withColumn("_toks", F.split("text", " ")))
+    sig = repetition_signals(F.col("_toks"), ns=(2, 3))
+    rows = {r.doc_id: r for r in df.select(
+        "doc_id", *[c.alias(k) for k, c in sig.items()]).collect()}
+    assert (rows[1].n_2grams, rows[1].n_distinct_2grams) == (5, 2)
+    assert (rows[1].n_3grams, rows[1].n_distinct_3grams) == (4, 2)
+    assert (rows[2].n_2grams, rows[2].n_distinct_2grams) == (3, 3)
+    assert (rows[3].n_2grams, rows[3].n_distinct_3grams) == (0, 0)
