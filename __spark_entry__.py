@@ -944,6 +944,33 @@ def _q_x_exact_dedup_groups(spark, sf_dir):
                  F.sum("keep_id").cast("long").alias("sum_keep"))
 
 
+def _q_x_pii_redact(spark, sf_dir):
+    """PII scrub: chained regexp_replace (email -> phone -> long
+    account number) over a corpus with deterministically PLANTED PII
+    (email, phone, 12-digit account derived from doc_id, appended to
+    every doc so both engines build the identical input). Output is
+    the md5 of the fully-redacted text (byte-exact cross-engine
+    equality of the scrub) plus exact per-pattern counts as the chain
+    sees them. Patterns live in functions/redact.py and are restricted
+    to the Java-regex/RE2 intersection dialect."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.functions.redact import (
+        pii_counts, redact_pii)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id").cast("string")
+    planted = docs.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" user"), d, F.lit("@mail.example.com 415-555-"),
+                 F.lpad(d, 4, "0"), F.lit(" "),
+                 F.lpad(d, 12, "0")).alias("text"))
+    cnt = pii_counts(F.col("text"))
+    return planted.select(
+        "doc_id",
+        F.md5(redact_pii(F.col("text"))).alias("red_md5"),
+        *[c.alias(k) for k, c in cnt.items()])
+
+
 def _q_x_repetition(spark, sf_dir):
     """Repetition-based quality signals (duplicate n-gram fraction
     family, Gopher/MassiveText-style): exact total + distinct bigram
@@ -2030,6 +2057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_keep_one": _q_x_dedup_keep_one,
         "x_decontaminate": _q_x_decontaminate,
         "x_repetition": _q_x_repetition,
+        "x_pii_redact": _q_x_pii_redact,
         "x_png_stats": _q_x_png_stats,
         "x_asof_within": _q_x_asof_within,
         "x_asof_forward": _q_x_asof_forward,
@@ -2307,6 +2335,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id) "
             "SELECT id AS doc_id, MIN(comp) AS component "
             "FROM reach GROUP BY id"),
+        "x_pii_redact": (
+            # identical planted PII + the same chain order; RE2 'g'
+            # flag mirrors Spark's replace-all default
+            "WITH planted AS (SELECT doc_id, "
+            "text || ' user' || doc_id || '@mail.example.com 415-555-' "
+            "|| lpad(CAST(doc_id AS VARCHAR), 4, '0') || ' ' "
+            "|| lpad(CAST(doc_id AS VARCHAR), 12, '0') AS text "
+            "FROM documents), "
+            "s1 AS (SELECT doc_id, text, "
+            "CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+            "AS BIGINT) AS n_email, "
+            "regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g') AS t1 FROM planted), "
+            "s2 AS (SELECT doc_id, n_email, "
+            "CAST(len(regexp_extract_all(t1, "
+            "'\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) AS BIGINT) "
+            "AS n_phone, "
+            "regexp_replace(t1, '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', "
+            "'<PHONE>', 'g') AS t2 FROM s1) "
+            "SELECT doc_id, md5(regexp_replace(t2, "
+            "'\\b[0-9]{10,}\\b', '<ACCT>', 'g')) AS red_md5, "
+            "n_email, n_phone, "
+            "CAST(len(regexp_extract_all(t2, '\\b[0-9]{10,}\\b')) "
+            "AS BIGINT) AS n_longnum FROM s2"),
         "x_repetition": (
             "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t "
             "FROM documents), "

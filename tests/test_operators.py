@@ -266,3 +266,31 @@ def test_repetition_signals_planted(spark):
     assert (rows[1].n_3grams, rows[1].n_distinct_3grams) == (4, 2)
     assert (rows[2].n_2grams, rows[2].n_distinct_2grams) == (3, 3)
     assert (rows[3].n_2grams, rows[3].n_distinct_3grams) == (0, 0)
+
+
+def test_pii_redaction_chain(spark):
+    """Chain order and confluence: the email's digit run is consumed
+    by <EMAIL> and never re-matched by the longnum rule; phone needs
+    the full 3-3-4 shape (a 9-digit dash-free run falls through to no
+    rule); 10+ digit runs become <ACCT>; counts reflect what each
+    stage actually saw."""
+    from pyspark.sql import functions as F
+
+    from bank_statement_pdf_parser_spark.functions.redact import (
+        pii_counts, redact_pii)
+    df = spark.createDataFrame(
+        [(1, "mail a1_b%c@sub.domain.org now"),
+         (2, "call 415-555-0042 or 415-555-9999."),
+         (3, "acct 12345678901 and short 123456789"),
+         (4, "mixed x9@y.io 415-555-0000 00112233445566")],
+        "doc_id long, text string")
+    cnt = pii_counts(F.col("text"))
+    out = {r.doc_id: r for r in df.select(
+        "doc_id", redact_pii(F.col("text")).alias("red"),
+        *[c.alias(k) for k, c in cnt.items()]).collect()}
+    assert out[1].red == "mail <EMAIL> now"
+    assert out[2].red == "call <PHONE> or <PHONE>."
+    assert out[3].red == "acct <ACCT> and short 123456789"
+    assert out[4].red == "mixed <EMAIL> <PHONE> <ACCT>"
+    assert (out[4].n_email, out[4].n_phone, out[4].n_longnum) == (1, 1, 1)
+    assert (out[2].n_email, out[2].n_phone, out[2].n_longnum) == (0, 2, 0)
