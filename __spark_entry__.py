@@ -1034,6 +1034,36 @@ def _q_x_corpus_mix(spark, sf_dir):
                  F.sum("doc_id").alias("id_sum")))
 
 
+def _q_x_line_dedup(spark, sf_dir):
+    """Sub-document line dedup (CCNet/C4-style): 8-token lines, only
+    the corpus-wide FIRST occurrence of each distinct line survives.
+    Boilerplate is PLANTED at line-aligned positions so the dedup
+    provably discriminates: one 8-token footer prefixed to EVERY doc
+    (kept once, in doc 0 — which also exercises the (doc, idx)
+    tie-break, since doc 0 carries it at idx 1) and a second 8-token
+    page-marker on every third doc. Output: per-doc line totals, kept
+    counts and the md5 of the reassembled cleaned text."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.neardup import (
+        dedup_lines)
+    p1 = "all rights reserved by the example corpus authors"
+    p2 = "this page is intentionally left blank today ok"
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.when(F.col("doc_id") % 3 == 0, F.lit(p2 + " "))
+                 .otherwise(F.lit("")),
+                 F.lit(p1 + " "), F.col("text")).alias("text"))
+    inst = dedup_lines(docs, tokens_per_line=8)
+    kept = F.when(F.col("is_first"), F.struct("line_idx", "line"))
+    return (inst.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("is_first").cast("long")).alias("n_kept"),
+        F.md5(F.array_join(
+            F.transform(F.sort_array(F.collect_list(kept)),
+                        lambda x: x["line"]), " ")
+            .cast("binary")).alias("clean_md5")))
+
+
 def _q_x_repetition(spark, sf_dir):
     """Repetition-based quality signals (duplicate n-gram fraction
     family, Gopher/MassiveText-style): exact total + distinct bigram
@@ -2115,6 +2145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.001 AND sf0.01).
     return {
         # --- round-6 additions (never driver-recorded) ---
+        "x_line_dedup": _q_x_line_dedup,
         "x_pack_shards": _q_x_pack_shards,
         "x_quantile_gate": _q_x_quantile_gate,
         "x_corpus_mix": _q_x_corpus_mix,
@@ -2401,6 +2432,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id) "
             "SELECT id AS doc_id, MIN(comp) AS component "
             "FROM reach GROUP BY id"),
+        "x_line_dedup": (
+            # same planted boilerplate, same 8-token line cut (list
+            # slice is 1-based inclusive like Spark's), winner =
+            # row_number over (doc_id, line_idx) == min-struct
+            "WITH planted AS (SELECT doc_id, "
+            "CASE WHEN doc_id % 3 = 0 THEN "
+            "'this page is intentionally left blank today ok ' "
+            "ELSE '' END || "
+            "'all rights reserved by the example corpus authors ' "
+            "|| text AS text FROM documents), "
+            "tok AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM planted), "
+            "lines AS (SELECT doc_id, i AS line_idx, "
+            "array_to_string(t[(i*8+1):(i*8+8)], ' ') AS line "
+            "FROM tok, UNNEST(generate_series(0, "
+            "CAST((len(t) + 7) // 8 AS BIGINT) - 1)) AS g(i)), "
+            "kept AS (SELECT *, row_number() OVER (PARTITION BY line "
+            "ORDER BY doc_id, line_idx) AS rn FROM lines) "
+            "SELECT doc_id, count(*) AS n_lines, "
+            "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_kept, "
+            "md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, "
+            "' ' ORDER BY line_idx), '')) AS clean_md5 "
+            "FROM kept GROUP BY doc_id"),
         "x_pack_shards": (
             # same rule, plain SQL window: exact global running token
             # count in doc_id order, shard = tokens-before DIV 2000

@@ -267,3 +267,51 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     return (df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("h"))
             .agg(F.min(id_col).alias("keep_id"),
                  F.count("*").alias("n_copies")))
+
+
+def dedup_lines(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id",
+                tokens_per_line: int = 8) -> DataFrame:
+    """Sub-document (line-level) exact dedup, CCNet/C4-style: every
+    doc is cut into fixed-width token lines; across the whole corpus
+    only the FIRST occurrence of each distinct line (by (doc, idx)
+    order) is kept, later repeats — boilerplate, mirrored passages —
+    are dropped while the surrounding document survives. Returns ALL
+    line instances as (id, line_idx, line, is_first) so callers can
+    both reassemble cleaned docs and audit drop rates.
+
+    Scale shape: the winner per line is min(struct(id, idx)) via a
+    hash-keyed groupBy — partial-aggregatable, so a boilerplate line
+    repeated 10^9 times collapses map-side instead of sorting through
+    one window partition (the window formulation is NOT skew-safe
+    here; hot lines are the expected input). The join back to
+    instances is an equi-join on the same key (AQE skew split
+    applies). Line identity travels as (length, xxhash64, salted
+    xxhash64) — the streaming dedup's ~128-bit content key,
+    collision-safe at 10^12 lines — never the line text itself."""
+    toks = (df.select(F.col(id_col).alias("_id"),
+                      F.split(F.col(text_col), " ").alias("_t"))
+            # stage the array + count: expressions referenced inside a
+            # transform lambda are re-evaluated per element (HOF rule)
+            .withColumn("_n", F.size("_t"))
+            .withColumn("_nl", F.expr(f"(_n + {tokens_per_line - 1}) "
+                                      f"div {tokens_per_line}")))
+    lines = (toks.select(
+        "_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.col("_nl") - 1),
+            lambda i: F.array_join(
+                F.slice(F.col("_t"), i * tokens_per_line + 1,
+                        tokens_per_line), " ")))
+        .alias("line_idx", "line"))
+        .withColumn("_k0", F.length("line"))
+        .withColumn("_k1", F.xxhash64("line"))
+        .withColumn("_k2", F.xxhash64(F.lit(41), F.col("line"))))
+    key = ["_k0", "_k1", "_k2"]
+    winners = (lines.groupBy(*key)
+               .agg(F.min(F.struct(F.col("_id"), F.col("line_idx")))
+                    .alias("_first")))
+    return (lines.join(winners, key)
+            .select(F.col("_id").alias(id_col), "line_idx", "line",
+                    (F.struct(F.col("_id"), F.col("line_idx"))
+                     == F.col("_first")).alias("is_first")))

@@ -294,3 +294,49 @@ def test_pii_redaction_chain(spark):
     assert out[4].red == "mixed <EMAIL> <PHONE> <ACCT>"
     assert (out[4].n_email, out[4].n_phone, out[4].n_longnum) == (1, 1, 1)
     assert (out[2].n_email, out[2].n_phone, out[2].n_longnum) == (0, 2, 0)
+
+
+def test_line_dedup_semantics(spark):
+    """First occurrence by (doc, idx) wins — including within-doc
+    repeats; partial last lines dedup like any other line; is_first
+    marks every instance."""
+    from pyspark.sql import functions as F
+
+    from bank_statement_pdf_parser_spark.operators.neardup import (
+        dedup_lines)
+    # 2-token lines for readability
+    df = spark.createDataFrame(
+        [(1, "a b c d a b"),        # lines: [a b][c d][a b] — self-dup
+         (2, "a b x y"),            # [a b] loses to doc 1 idx 0
+         (3, "x y tail"),           # [x y] loses to doc 2; [tail] partial
+         (4, "tail")],              # partial line loses to doc 3
+        "doc_id long, text string")
+    rows = {(r.doc_id, r.line_idx): (r.line, r.is_first)
+            for r in dedup_lines(df, tokens_per_line=2).collect()}
+    assert rows[(1, 0)] == ("a b", True)
+    assert rows[(1, 1)] == ("c d", True)
+    assert rows[(1, 2)] == ("a b", False)   # within-doc repeat dropped
+    assert rows[(2, 0)] == ("a b", False)
+    assert rows[(2, 1)] == ("x y", True)
+    assert rows[(3, 0)] == ("x y", False)
+    assert rows[(3, 1)] == ("tail", True)
+    assert rows[(4, 0)] == ("tail", False)
+    assert len(rows) == 8
+
+
+def test_line_dedup_winner_is_aggregated_not_windowed(spark):
+    """The hot-line winner comes from a partial-aggregatable groupBy
+    (skew-safe), not a single-key window sort: the plan must contain
+    a partial_min HashAggregate on the line key and no Window over
+    the line column."""
+    from pyspark.sql import functions as F
+
+    from bank_statement_pdf_parser_spark.operators.neardup import (
+        dedup_lines)
+    df = spark.createDataFrame(
+        [(i, "hot line " + ("unique%d" % i)) for i in range(50)],
+        "doc_id long, text string")
+    out = dedup_lines(df, tokens_per_line=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan
+    assert "Window" not in plan
