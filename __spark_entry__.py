@@ -1064,6 +1064,28 @@ def _q_x_line_dedup(spark, sf_dir):
             .cast("binary")).alias("clean_md5")))
 
 
+def _q_x_unicode_nfc(spark, sf_dir):
+    """Unicode NFC canonicalization (curation scrub stage): the ASCII
+    corpus is enriched with a decomposed 'e' + COMBINING ACUTE (U+0301)
+    per doc, so normalization provably composes codepoints (the char
+    count drops by one). Spark side is the Arrow-batched unicodedata
+    pandas UDF (no NFC builtin exists); oracle is DuckDB's
+    nfc_normalize — same UAX #15 form, md5-compared byte-exact."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.functions.textclean import (
+        nfc_normalize)
+    planted = F.concat(F.col("text"), F.lit(" cafe\u0301 n"),
+                       F.col("doc_id").cast("string"))
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", planted.alias("raw"))
+    n = nfc_normalize(F.col("raw"))
+    return docs.select(
+        "doc_id",
+        F.md5(n.cast("binary")).alias("nfc_md5"),
+        F.length(n).cast("long").alias("n_chars_nfc"),
+        F.length("raw").cast("long").alias("n_chars_raw"))
+
+
 def _q_x_repetition(spark, sf_dir):
     """Repetition-based quality signals (duplicate n-gram fraction
     family, Gopher/MassiveText-style): exact total + distinct bigram
@@ -2145,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.001 AND sf0.01).
     return {
         # --- round-6 additions (never driver-recorded) ---
+        "x_unicode_nfc": _q_x_unicode_nfc,
         "x_line_dedup": _q_x_line_dedup,
         "x_pack_shards": _q_x_pack_shards,
         "x_quantile_gate": _q_x_quantile_gate,
@@ -2432,6 +2455,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id) "
             "SELECT id AS doc_id, MIN(comp) AS component "
             "FROM reach GROUP BY id"),
+        "x_unicode_nfc": (
+            "SELECT doc_id, "
+            "md5(nfc_normalize(text || ' cafe' || chr(769) || ' n' || "
+            "CAST(doc_id AS VARCHAR))) AS nfc_md5, "
+            "CAST(length(nfc_normalize(text || ' cafe' || chr(769) || "
+            "' n' || CAST(doc_id AS VARCHAR))) AS BIGINT) "
+            "AS n_chars_nfc, "
+            "CAST(length(text || ' cafe' || chr(769) || ' n' || "
+            "CAST(doc_id AS VARCHAR)) AS BIGINT) AS n_chars_raw "
+            "FROM documents"),
         "x_line_dedup": (
             # same planted boilerplate, same 8-token line cut (list
             # slice is 1-based inclusive like Spark's), winner =

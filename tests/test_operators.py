@@ -340,3 +340,25 @@ def test_line_dedup_winner_is_aggregated_not_windowed(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "partial_min" in plan
     assert "Window" not in plan
+
+
+def test_nfc_normalize_composes_and_preserves(spark):
+    """Decomposed sequences compose (len shrinks), precomposed and
+    ASCII text pass through byte-identical, compatibility ligatures
+    are NOT folded (NFC, not NFKC), NULLs survive."""
+    from pyspark.sql import functions as F
+
+    from bank_statement_pdf_parser_spark.functions.textclean import (
+        nfc_normalize)
+    df = spark.createDataFrame(
+        [(1, "cafe\u0301"), (2, "caf\u00e9"), (3, "plain ascii"),
+         (4, "ﬁx"), (5, None)],
+        "id long, t string")
+    out = {r.id: (r.n, r.ln) for r in df.select(
+        "id", nfc_normalize(F.col("t")).alias("n"),
+        F.length(nfc_normalize(F.col("t"))).alias("ln")).collect()}
+    assert out[1] == ("caf\u00e9", 4)       # composed
+    assert out[2] == ("caf\u00e9", 4)       # already NFC: unchanged
+    assert out[3] == ("plain ascii", 11)
+    assert out[4] == ("ﬁx", 2)         # ligature kept (not NFKC)
+    assert out[5] == (None, None)
