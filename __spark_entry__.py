@@ -1064,6 +1064,25 @@ def _q_x_line_dedup(spark, sf_dir):
             .cast("binary")).alias("clean_md5")))
 
 
+def _q_x_centroid_gate(spark, sf_dir):
+    """Model-based quality gate (seed-centroid scoring, the
+    fineweb-style pattern): the label=0 rows are the trusted seed set;
+    their mean embedding is computed DISTRIBUTED (posexplode +
+    partial-aggregatable groupBy(dim) avg — see ann.seed_centroid),
+    reassembled as one broadcast row, and every corpus vector is
+    cosine-scored against it. round(·, 6) on both engines absorbs
+    float-summation-order noise, same discipline as x_ann_cosine."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.ann import (
+        cosine_to_query, seed_centroid)
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = seed_centroid(emb.filter(F.col("label") == 0))
+    scored = cosine_to_query(emb, cent)
+    return (scored.select("vec_id", "label",
+                          F.round("cos", 6).alias("cos_r"))
+            .filter(F.col("cos_r") >= 0.2))
+
+
 def _q_x_unicode_nfc(spark, sf_dir):
     """Unicode NFC canonicalization (curation scrub stage): the ASCII
     corpus is enriched with a decomposed 'e' + COMBINING ACUTE (U+0301)
@@ -2167,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.001 AND sf0.01).
     return {
         # --- round-6 additions (never driver-recorded) ---
+        "x_centroid_gate": _q_x_centroid_gate,
         "x_unicode_nfc": _q_x_unicode_nfc,
         "x_line_dedup": _q_x_line_dedup,
         "x_pack_shards": _q_x_pack_shards,
@@ -2455,6 +2475,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id) "
             "SELECT id AS doc_id, MIN(comp) AS component "
             "FROM reach GROUP BY id"),
+        "x_centroid_gate": (
+            # same centroid (per-dim mean over the label-0 seed set,
+            # floats cast to double BEFORE averaging) and the same
+            # round-6 cosine discipline as x_ann_cosine
+            "WITH c AS (SELECT i AS dim, avg(embedding[i]::DOUBLE) AS c "
+            "FROM embeddings, "
+            "UNNEST(generate_series(1, len(embedding))) AS g(i) "
+            "WHERE label = 0 GROUP BY i), "
+            "z AS (SELECT e.vec_id, e.label, "
+            "e.embedding[c.dim]::DOUBLE AS a, c.c AS b "
+            "FROM embeddings e CROSS JOIN c), "
+            "d AS (SELECT vec_id, label, SUM(a*b) AS dot, "
+            "sqrt(SUM(a*a)) * sqrt(SUM(b*b)) AS nrm FROM z "
+            "GROUP BY vec_id, label) "
+            "SELECT vec_id, label, round(dot/nrm, 6) AS cos_r FROM d "
+            "WHERE round(dot/nrm, 6) >= 0.2"),
         "x_unicode_nfc": (
             "SELECT doc_id, "
             "md5(nfc_normalize(text || ' cafe' || chr(769) || ' n' || "

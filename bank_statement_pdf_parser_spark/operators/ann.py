@@ -407,3 +407,25 @@ def cosine_to_query(df: DataFrame, query_df: DataFrame,
     e = df.crossJoin(F.broadcast(query_df))
     v, q = F.col(vec_col), F.col("q_emb")
     return e.withColumn("cos", d(v, q) / (F.sqrt(d(v, v)) * F.sqrt(d(q, q))))
+
+
+def seed_centroid(df: DataFrame, vec_col: str = "embedding",
+                  out_col: str = "q_emb") -> DataFrame:
+    """Mean vector of `df`'s embeddings as ONE row (`out_col`
+    array<double>), ready to broadcast into `cosine_to_query` — the
+    model-based quality-gate pattern (score the corpus against a
+    trusted seed set's centroid).
+
+    Distributed shape: posexplode to (dim, value) then a
+    partial-aggregatable groupBy(dim) avg — map-side combine collapses
+    each task to `dim` rows, so 10^9 seed vectors cost one narrow
+    shuffle of dim-sized partials (an interpreted array-fold over the
+    whole set, or a driver-side collect, would not scale). The final
+    sort+collect runs on `dim` rows."""
+    dims = df.select(F.posexplode(vec_col).alias("_dim", "_v"))
+    per_dim = (dims.groupBy("_dim")
+               .agg(F.avg(F.col("_v").cast("double")).alias("_c")))
+    return (per_dim.groupBy()
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("_dim", "_c"))),
+                lambda x: x["_c"]).alias(out_col)))

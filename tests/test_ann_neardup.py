@@ -305,3 +305,20 @@ def test_simhash_cap_drop_is_observable(spark):
     assert got == {(9001, 9002, 3)}
     assert obs.get["dropped_band_rows"] == 2000  # 500 docs x 4 bands
     assert obs.get["docs_affected"] >= 450  # HLL estimate of 500
+
+
+def test_seed_centroid_exact_and_distributed(spark):
+    """Centroid equals the hand mean; the plan aggregates partially
+    (map-side combine) rather than folding arrays whole."""
+    from pyspark.sql import functions as F
+
+    from bank_statement_pdf_parser_spark.operators.ann import (
+        seed_centroid)
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 30.0]), (2, [3.0, 4.0, -10.0]),
+         (3, [5.0, 6.0, 10.0])],
+        "vec_id long, embedding array<float>")
+    row = seed_centroid(df).first()
+    assert row.q_emb == [3.0, 4.0, 10.0]
+    plan = seed_centroid(df)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_avg" in plan
