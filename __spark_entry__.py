@@ -1064,6 +1064,30 @@ def _q_x_line_dedup(spark, sf_dir):
             .cast("binary")).alias("clean_md5")))
 
 
+def _q_x_context_windows(spark, sf_dir):
+    """Token-level context-window packing (W=512): the corpus,
+    space-concatenated in doc_id order, cut into exact 512-token
+    windows — computed distributed (offset from the two-level prefix
+    sum, one exploded row per (doc, straddled window), groupBy window
+    reassembly) and verified byte-exact: per-window md5 of the
+    reassembled text, contributing-doc count and token count against
+    DuckDB replaying the identical slice arithmetic sequentially."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.sharding import (
+        context_windows)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pieces = context_windows(docs, "doc_id", "text",
+                             window_tokens=512, block_size=64)
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("piece_start", "piece"))),
+        lambda x: x["piece"])
+    return (pieces.groupBy("window_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("piece", " ")).cast("long"))
+        .alias("n_tokens"),
+        F.md5(F.array_join(ordered, " ").cast("binary")).alias("w_md5")))
+
+
 def _q_x_centroid_gate(spark, sf_dir):
     """Model-based quality gate (seed-centroid scoring, the
     fineweb-style pattern): the label=0 rows are the trusted seed set;
@@ -2186,6 +2210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.001 AND sf0.01).
     return {
         # --- round-6 additions (never driver-recorded) ---
+        "x_context_windows": _q_x_context_windows,
         "x_centroid_gate": _q_x_centroid_gate,
         "x_unicode_nfc": _q_x_unicode_nfc,
         "x_line_dedup": _q_x_line_dedup,
@@ -2475,6 +2500,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id) "
             "SELECT id AS doc_id, MIN(comp) AS component "
             "FROM reach GROUP BY id"),
+        "x_context_windows": (
+            # sequential replay of the same arithmetic: global token
+            # offset o per doc, window span o//512 .. (o+n-1)//512,
+            # slice t[(lo-o+1):(hi-o)] (1-based INCLUSIVE = Spark's
+            # slice(start, length)), reassembled in offset order
+            "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents), "
+            "c AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n, "
+            "CAST(SUM(len(t)) OVER (ORDER BY doc_id ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum "
+            "FROM tok), "
+            "p AS (SELECT doc_id, t, n, cum - n AS o FROM c), "
+            "pieces AS (SELECT doc_id, t, o, w AS window_id, "
+            "GREATEST(o, w * 512) AS lo, "
+            "LEAST(o + n, (w + 1) * 512) AS hi "
+            "FROM p, UNNEST(generate_series(o // 512, "
+            "(o + n - 1) // 512)) AS g(w)) "
+            "SELECT window_id, count(*) AS n_docs, "
+            "CAST(SUM(hi - lo) AS BIGINT) AS n_tokens, "
+            "md5(string_agg(array_to_string("
+            "t[(lo - o + 1):(hi - o)], ' '), ' ' ORDER BY lo)) AS w_md5 "
+            "FROM pieces GROUP BY window_id"),
         "x_centroid_gate": (
             # same centroid (per-dim mean over the label-0 seed set,
             # floats cast to double BEFORE averaging) and the same

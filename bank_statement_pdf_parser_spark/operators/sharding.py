@@ -107,6 +107,50 @@ def hash_mix(df: DataFrame, group_col: str, weights_hex: dict[str, str],
     return h < expr
 
 
+def context_windows(df: DataFrame, order_col: str, text_col: str,
+                    window_tokens: int, block_size: int = 1024,
+                    ) -> DataFrame:
+    """Token-level context-window packing — the pretraining loader's
+    "concatenate the whole corpus (space-separated, in key order) and
+    cut it into fixed W-token windows" — WITHOUT ever concatenating:
+    each doc learns its global token offset from the distributed
+    prefix sum, then emits one row per window it straddles with the
+    token slice that lands there. Window w's full content is the
+    offset-ordered concatenation of its pieces, exactly equal to the
+    sequential chunking, but computed as a projection + explode with
+    no global structure beyond the cumsum's tiny offsets frame.
+
+    Returns (order_col, window_id, piece_start, piece) where
+    piece_start is the piece's global token offset (the reassembly
+    sort key within a window) and piece is the token slice rejoined
+    with spaces. A doc of n tokens at offset o spans windows
+    o div W .. (o+n-1) div W — at most n/W + 1 rows; corpus-wide the
+    explode emits ~total_tokens/W extra rows, not a blowup."""
+    toks = (df.select(F.col(order_col), F.split(F.col(text_col), " ")
+                      .alias("_t"))
+            .withColumn("_n", F.size("_t").cast("long")))
+    cum = distributed_cumsum(toks, order_col, F.col("_n"),
+                             out_col="_cum", block_size=block_size)
+    w = int(window_tokens)
+    pieces = (cum
+              .withColumn("_o", F.col("_cum") - F.col("_n"))
+              .withColumn("_w0", F.expr(f"_o div {w}"))
+              .withColumn("_w1", F.expr(f"(_o + _n - 1) div {w}"))
+              .select(order_col, "_t", "_o", "_n",
+                      F.explode(F.sequence(F.col("_w0"), F.col("_w1")))
+                      .alias("window_id"))
+              .withColumn("_lo", F.greatest(F.col("_o"),
+                                            F.col("window_id") * w))
+              .withColumn("_hi", F.least(F.col("_o") + F.col("_n"),
+                                         (F.col("window_id") + 1) * w)))
+    return pieces.select(
+        order_col, "window_id",
+        F.col("_lo").alias("piece_start"),
+        F.array_join(F.slice(
+            "_t", (F.col("_lo") - F.col("_o") + 1).cast("int"),
+            (F.col("_hi") - F.col("_lo")).cast("int")), " ").alias("piece"))
+
+
 def group_quantile_thresholds(df: DataFrame, group_col: str,
                               score_col: str, q: float) -> DataFrame:
     """One row per group: the exact linear-interpolated q-quantile of

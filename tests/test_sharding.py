@@ -116,3 +116,30 @@ def test_group_quantile_thresholds_exact(spark):
            for r in group_quantile_thresholds(df, "g", "s", 0.75).collect()}
     # a: pos = 0.75*(5-1) = 3 -> 4.0 ; b: pos = 0.75*3 = 2.25 -> 30 + .25*10
     assert thr == {"a": 4.0, "b": 32.5}
+
+
+def test_context_windows_equal_sequential_chunking(spark):
+    """Reassembled windows must byte-equal chunking the sequentially
+    concatenated corpus — including docs that straddle several
+    windows and a window fed by many small docs."""
+    import random as _r
+    rng = _r.Random(11)
+    docs = [(i, " ".join("w%d_%d" % (i, j)
+                         for j in range(rng.choice([1, 2, 5, 23]))))
+            for i in range(40)]
+    W = 16
+    all_toks = [t for _, txt in docs for t in txt.split(" ")]
+    expect = {w: " ".join(all_toks[w * W:(w + 1) * W])
+              for w in range((len(all_toks) + W - 1) // W)}
+
+    from bank_statement_pdf_parser_spark.operators.sharding import (
+        context_windows)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pieces = context_windows(df, "doc_id", "text", window_tokens=W,
+                             block_size=8).collect()
+    got = {}
+    for w in {p.window_id for p in pieces}:
+        ordered = sorted((p for p in pieces if p.window_id == w),
+                         key=lambda p: p.piece_start)
+        got[w] = " ".join(p.piece for p in ordered)
+    assert got == expect
