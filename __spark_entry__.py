@@ -1064,6 +1064,35 @@ def _q_x_line_dedup(spark, sf_dir):
             .cast("binary")).alias("clean_md5")))
 
 
+def _q_x_tfidf_terms(spark, sf_dir):
+    """Per-language distinctive terms (TF-IDF family): term frequency
+    within the language vs document frequency across the corpus, top 5
+    per language. Ranking is INTEGER-ONLY (tf desc, global df asc,
+    term asc) so cross-engine order can't flip on a 1-ulp float
+    difference; the float idf score is carried as a round(·, 6) value
+    column only. Shape: one explode + two partial-aggregatable
+    groupBys + a broadcast-sized per-term df join + per-lang top-k
+    window (the window partitions by lang — bounded group count)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    n_docs = docs.count()
+    terms = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
+    tf = (terms.groupBy("lang", "term")
+          .agg(F.count("*").alias("tf")))
+    dfreq = (terms.groupBy("term")
+             .agg(F.countDistinct("doc_id").alias("df")))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc())
+    return (tf.join(dfreq, "term")
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("lang", "rk", "term", "tf", "df",
+                    F.round(F.col("tf") * F.log(
+                        (F.lit(float(n_docs)) + 1.0)
+                        / (F.col("df") + 1.0)), 6).alias("tfidf_r")))
+
+
 def _q_x_context_windows(spark, sf_dir):
     """Token-level context-window packing (W=512): the corpus,
     space-concatenated in doc_id order, cut into exact 512-token
@@ -2210,6 +2239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.001 AND sf0.01).
     return {
         # --- round-6 additions (never driver-recorded) ---
+        "x_tfidf_terms": _q_x_tfidf_terms,
         "x_context_windows": _q_x_context_windows,
         "x_centroid_gate": _q_x_centroid_gate,
         "x_unicode_nfc": _q_x_unicode_nfc,
@@ -2500,6 +2530,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id) "
             "SELECT id AS doc_id, MIN(comp) AS component "
             "FROM reach GROUP BY id"),
+        "x_tfidf_terms": (
+            "WITH terms AS (SELECT doc_id, lang, unnest(t) AS term "
+            "FROM (SELECT doc_id, lang, string_split(text, ' ') AS t "
+            "FROM documents)), "
+            "tf AS (SELECT lang, term, count(*) AS tf FROM terms "
+            "GROUP BY lang, term), "
+            "dfreq AS (SELECT term, count(DISTINCT doc_id) AS df "
+            "FROM terms GROUP BY term), "
+            "n AS (SELECT count(*) AS n FROM documents), "
+            "rk AS (SELECT lang, term, tf, df, row_number() OVER ("
+            "PARTITION BY lang ORDER BY tf DESC, df ASC, term ASC) "
+            "AS rk FROM tf JOIN dfreq USING (term)) "
+            "SELECT lang, CAST(rk AS BIGINT) AS rk, term, "
+            "CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, "
+            "round(tf * ln(((SELECT n FROM n) + 1.0) / (df + 1.0)), 6) "
+            "AS tfidf_r FROM rk WHERE rk <= 5"),
         "x_context_windows": (
             # sequential replay of the same arithmetic: global token
             # offset o per doc, window span o//512 .. (o+n-1)//512,
