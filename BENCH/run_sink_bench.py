@@ -100,8 +100,9 @@ CheckpointedExtract end to end: bucket shard (n_buckets=32), ONE
 tokenizer pass staging records to parquet, spans + transactions
 derived from the staged records in two CONCURRENT jobs and written
 with dynamic partition overwrite, per-bucket input metrics observed
-on the extraction job and output counts observed on the write jobs
-(no read-back), 32 atomic manifest commits.
+on the extraction job and output counts taken from the parquet
+FOOTERS of the committed files (metadata-only — no read-back job,
+the Iceberg snapshot-manifest mapping), 32 atomic manifest commits.
 
 | measurement | wall s |
 |---|---|
@@ -124,12 +125,16 @@ records staging (lz4 encode ~0.36 s, bucket exchange + 32-partition
 commit ~0.58 s); spans ~1.0 s and transactions ~1.4 s derived jobs
 (txn normalize — the frozen F1-F5 date/amount Catalyst expressions —
 is the wider one) run CONCURRENTLY for ~1.8 s combined alongside the
-pruned-column conv-range job. Round-6 change: the per-bucket input
-observation carries only rows/bytes — CollectMetrics accumulators
-cost ~linearly in (aggregates x rows) regardless of expression
-complexity (even 128 sum(lit(0)) aggs cost ~0.5 s here), and halving
-the aggregate fan moved the ratio from round-5's 1.73 to this run's
-value on a noisier host. Each derived output pays exactly ONE
+pruned-column conv-range job. Round-6 changes: (a) the per-bucket
+input observation carries only rows/bytes — CollectMetrics
+accumulators cost ~linearly in (aggregates x rows) regardless of
+expression complexity (even 128 sum(lit(0)) aggs cost ~0.5 s here);
+(b) the OUTPUT counts moved off the write jobs entirely — the former
+32-aggregate observation on each ~1.2M-row derived write cost ~10%
+of the derived-phase wall (interleaved A/B: observe 2.50 s vs plain
+write 2.26 s vs plain+count-read-back 2.57 s best-of-4), and parquet
+footer counts of the just-committed files are exact, metadata-only
+and effectively free. Each derived output pays exactly ONE
 records-sized exchange (the bucket column rides the span/txn index
 windows' partitionBy, round 5). The raw unit persists NOTHING; the
 remaining overhead IS the durable write of three outputs plus their
@@ -146,6 +151,13 @@ partition); on the design-scale Iceberg table the same grouping scans
 each bucket partition once (hidden bucket(conv_id) pruning), so the
 1-group number is the representative one and the 4-group number is
 the sandbox's documented re-scan cost class, not the engine's.
+Round 6 additionally PIPELINES the groups: group g's derived writes
+run on a single-slot executor while group g+1's raw pass proceeds on
+the caller thread (manifests still commit strictly after their
+group's writes; a simulated crash lets in-flight derives finish and
+reprocesses only unstaged groups — test_resume) — the 4-group wall
+dropped from 10.49 s (round-6 pre-pipelining record) to this run's
+value with resume semantics unchanged.
 
 Generated {time.strftime('%Y-%m-%d %H:%M:%S UTC', time.gmtime())} by
 BENCH/run_sink_bench.py (env: SINK_BENCH_REPEATS, SPARK_GRAFT_CPUS).
