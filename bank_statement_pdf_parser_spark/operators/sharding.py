@@ -56,6 +56,15 @@ def distributed_cumsum(df: DataFrame, order_col: str, weight_col: Column,
     totals and the window pass — instead of persist(): column-pruned
     parquet scans are cheaper than caching the full rows (CLAUDE.md).
     """
+    from pyspark.sql.types import NumericType
+    t = df.schema[order_col].dataType
+    if not isinstance(t, NumericType):
+        # fail fast: a string key would still sort, but floor(key/N)
+        # blocks would not be order-contiguous -> silently wrong sums
+        raise ValueError(
+            f"distributed_cumsum needs a numeric order column; "
+            f"{order_col} is {t.simpleString()} (range-partition the "
+            f"frame and derive a numeric rank first)")
     blk = F.floor(F.col(order_col) / F.lit(block_size))
     w_in = Window.partitionBy("_blk").orderBy(order_col)
     inner = (df.withColumn("_blk", blk)

@@ -143,3 +143,11 @@ def test_context_windows_equal_sequential_chunking(spark):
                          key=lambda p: p.piece_start)
         got[w] = " ".join(p.piece for p in ordered)
     assert got == expect
+
+
+def test_cumsum_rejects_non_numeric_order_key(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", 1)], "k string, w long")
+    with pytest.raises(ValueError, match="numeric order column"):
+        distributed_cumsum(df, "k", F.col("w"))
