@@ -161,11 +161,23 @@ def context_windows(df: DataFrame, order_col: str, text_col: str,
 
 
 def group_quantile_thresholds(df: DataFrame, group_col: str,
-                              score_col: str, q: float) -> DataFrame:
-    """One row per group: the exact linear-interpolated q-quantile of
-    `score_col` (SQL `percentile`, same definition as DuckDB's
-    quantile_cont). Meant to be broadcast back as a filter: with
-    integer scores and q a multiple of 1/4, the interpolation is exact
-    in binary floating point, so engines agree bit-for-bit."""
-    return (df.groupBy(group_col)
-            .agg(F.percentile(F.col(score_col), F.lit(q)).alias("thr")))
+                              score_col: str, q: float,
+                              approx_accuracy: int | None = None,
+                              ) -> DataFrame:
+    """One row per group: the q-quantile of `score_col`, to be
+    broadcast back as a map-side filter.
+
+    Default = exact linear-interpolated percentile (SQL `percentile`,
+    same definition as DuckDB's quantile_cont): with integer scores
+    and q a multiple of 1/4 the interpolation is exact in binary
+    floating point, so engines agree bit-for-bit — the testable form.
+    The exact aggregate buffers each group's values, so at the 100 TB
+    tier pass `approx_accuracy` (e.g. 10000) to switch to
+    `approx_percentile`'s mergeable KLL-class sketch — identical plan
+    shape and output schema, error <= 1/accuracy quantile mass."""
+    col = F.col(score_col)
+    agg = (F.percentile(col, F.lit(q)) if approx_accuracy is None
+           else F.percentile_approx(col, F.lit(q),
+                                    F.lit(int(approx_accuracy)))
+           .cast("double"))
+    return df.groupBy(group_col).agg(agg.alias("thr"))

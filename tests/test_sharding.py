@@ -151,3 +151,14 @@ def test_cumsum_rejects_non_numeric_order_key(spark):
     df = spark.createDataFrame([("a", 1)], "k string, w long")
     with pytest.raises(ValueError, match="numeric order column"):
         distributed_cumsum(df, "k", F.col("w"))
+
+
+def test_group_quantile_thresholds_approx_path(spark):
+    """The 100 TB swap: same schema, and at high accuracy the sketch
+    lands on a real data value within one step of the exact quantile."""
+    df = spark.createDataFrame(
+        [("a", v) for v in range(1, 101)], "g string, s long")
+    exact = group_quantile_thresholds(df, "g", "s", 0.75).first().thr
+    approx = group_quantile_thresholds(df, "g", "s", 0.75,
+                                       approx_accuracy=10000).first().thr
+    assert abs(approx - exact) <= 1.0
