@@ -1064,6 +1064,23 @@ def _q_x_line_dedup(spark, sf_dir):
             .cast("binary")).alias("clean_md5")))
 
 
+def _q_x_group_cap(spark, sf_dir):
+    """Exact per-source cap (k=20 docs per language, deterministic):
+    the winners are the k smallest md5(doc_id:salt) hashes per group,
+    computed with the two-phase prefix-cut sampler (sharding.py
+    exact_k_per_group — the window only ever sorts ~4k survivors per
+    group, never the group). id_sum pins the exact winner SET against
+    DuckDB ranking the full corpus."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.sharding import (
+        exact_k_per_group)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = exact_k_per_group(docs, "lang", k=20)
+    return (kept.groupBy("lang")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum("doc_id").alias("id_sum")))
+
+
 def _q_x_tfidf_terms(spark, sf_dir):
     """Per-language distinctive terms (TF-IDF family): term frequency
     within the language vs document frequency across the corpus, top 5
@@ -2239,6 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.001 AND sf0.01).
     return {
         # --- round-6 additions (never driver-recorded) ---
+        "x_group_cap": _q_x_group_cap,
         "x_tfidf_terms": _q_x_tfidf_terms,
         "x_context_windows": _q_x_context_windows,
         "x_centroid_gate": _q_x_centroid_gate,
@@ -2530,6 +2548,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id) "
             "SELECT id AS doc_id, MIN(comp) AS component "
             "FROM reach GROUP BY id"),
+        "x_group_cap": (
+            # full ranking over every row — the two-phase sampler's
+            # winner set must equal it exactly
+            "WITH h AS (SELECT lang, doc_id, "
+            "md5(CAST(doc_id AS VARCHAR) || ':k1') AS hh "
+            "FROM documents), "
+            "r AS (SELECT lang, doc_id, row_number() OVER ("
+            "PARTITION BY lang ORDER BY hh, doc_id) AS rn FROM h) "
+            "SELECT lang, count(*) AS n_kept, "
+            "CAST(sum(doc_id) AS BIGINT) AS id_sum "
+            "FROM r WHERE rn <= 20 GROUP BY lang"),
         "x_tfidf_terms": (
             "WITH terms AS (SELECT doc_id, lang, unnest(t) AS term "
             "FROM (SELECT doc_id, lang, string_split(text, ' ') AS t "

@@ -160,6 +160,55 @@ def context_windows(df: DataFrame, order_col: str, text_col: str,
             (F.col("_hi") - F.col("_lo")).cast("int")), " ").alias("piece"))
 
 
+def exact_k_per_group(df: DataFrame, group_col: str, k: int,
+                      key_col: str = "doc_id", salt: str = "k1",
+                      oversample: float = 4.0) -> DataFrame:
+    """Exactly min(k, |group|) rows per group — the k smallest
+    md5(key:salt) hashes — the deterministic per-source cap every
+    corpus-mixing recipe needs (e.g. "at most 1M docs per domain"),
+    stable under re-runs and engine-independent.
+
+    Never sorts whole groups through a window. Phase 1 keeps rows
+    whose 8-hex hash PREFIX is below a per-group threshold sized to
+    pass ~oversample*k rows (map-side filter; thresholds ride a
+    broadcast map built from the tiny per-group counts). Because a
+    prefix cut selects an exact PREFIX of the full-hash order, the k
+    smallest survivors ARE the k smallest of the whole group whenever
+    the group kept >= min(k, n) — which is verified EXACTLY, and any
+    deficient group (possible only through astronomically unlucky
+    draws, P ~ e^-k at oversample 4) is re-ranked from its full rows.
+    Phase 2's window therefore sorts ~oversample*k rows per group, not
+    the group."""
+    h = F.md5(F.concat(F.col(key_col).cast("string"),
+                       F.lit(":" + salt)).cast("binary"))
+    src = df.withColumn("_h", h)
+    counts = {r[0]: r[1]
+              for r in df.groupBy(group_col).count().collect()}
+    space = 16 ** 8
+
+    def thr_hex(n):
+        frac = min(1.0, oversample * k / max(n, 1))
+        return format(min(space - 1, int(frac * space) + 1), "08x")
+
+    thr_map = F.create_map(*[x for g, n in counts.items()
+                             for x in (F.lit(g), F.lit(thr_hex(n)))])
+    surv = src.filter(F.substring("_h", 1, 8) < thr_map[F.col(group_col)])
+    w = (Window.partitionBy(group_col).orderBy("_h", key_col))
+    ranked = (surv.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= k))
+    got = {r[0]: r[1]
+           for r in ranked.groupBy(group_col).count().collect()}
+    deficient = [g for g, n in counts.items()
+                 if got.get(g, 0) < min(k, n)]
+    if deficient:
+        full = (src.filter(F.col(group_col).isin(deficient))
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= k))
+        ranked = (ranked.filter(~F.col(group_col).isin(deficient))
+                  .unionByName(full))
+    return ranked.drop("_h", "_rn")
+
+
 def group_quantile_thresholds(df: DataFrame, group_col: str,
                               score_col: str, q: float,
                               approx_accuracy: int | None = None,

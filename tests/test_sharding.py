@@ -162,3 +162,41 @@ def test_group_quantile_thresholds_approx_path(spark):
     approx = group_quantile_thresholds(df, "g", "s", 0.75,
                                        approx_accuracy=10000).first().thr
     assert abs(approx - exact) <= 1.0
+
+
+def _cap_reference(rows, k, salt="k1"):
+    import hashlib
+    by_g = {}
+    for g, key in rows:
+        h = hashlib.md5(f"{key}:{salt}".encode()).hexdigest()
+        by_g.setdefault(g, []).append((h, key))
+    out = set()
+    for g, hs in by_g.items():
+        for _, key in sorted(hs)[:k]:
+            out.add((g, key))
+    return out
+
+
+def test_exact_k_per_group_equals_full_ranking(spark):
+    rows = [("g%d" % (i % 3), i) for i in range(200)] + [("tiny", 999)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    got = {(r.lang, r.doc_id)
+           for r in __import__(
+               "bank_statement_pdf_parser_spark.operators.sharding",
+               fromlist=["exact_k_per_group"])
+           .exact_k_per_group(df, "lang", k=10).collect()}
+    assert got == _cap_reference(rows, 10)
+    assert sum(1 for g, _ in got if g == "tiny") == 1  # n < k kept whole
+
+
+def test_exact_k_per_group_fallback_path(spark):
+    """A pathological oversample forces every group deficient; the
+    exact re-rank must still return the true winner set."""
+    from bank_statement_pdf_parser_spark.operators.sharding import (
+        exact_k_per_group)
+    rows = [("a", i) for i in range(60)] + [("b", i) for i in range(60, 90)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    got = {(r.lang, r.doc_id)
+           for r in exact_k_per_group(df, "lang", k=5,
+                                      oversample=1e-6).collect()}
+    assert got == _cap_reference(rows, 5)
