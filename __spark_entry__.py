@@ -1064,6 +1064,57 @@ def _q_x_line_dedup(spark, sf_dir):
             .cast("binary")).alias("clean_md5")))
 
 
+def _q_x_curation_v2(spark, sf_dir):
+    """Composed curation pipeline over the round-6 operators, ONE
+    Spark job end to end: planted corpus -> PII scrub (regexp chain)
+    -> unicode NFC (pandas UDF mid-plan) -> sub-document line dedup +
+    cleaned-text reassembly -> per-lang length-quantile gate (keep top
+    75%) -> token-budget packing of the survivors. Every stage
+    discriminates (planted PII, planted decomposed accents, planted
+    cross-doc boilerplate lines, a real quantile cut) and DuckDB
+    replays all five stages; per-shard id/token sums pin the entire
+    composition."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.functions.redact import (
+        redact_pii)
+    from bank_statement_pdf_parser_spark.functions.textclean import (
+        nfc_normalize)
+    from bank_statement_pdf_parser_spark.operators.neardup import (
+        dedup_lines)
+    from bank_statement_pdf_parser_spark.operators.sharding import (
+        group_quantile_thresholds, token_budget_shards)
+    p1 = "all rights reserved by the example corpus authors"
+    d = F.col("doc_id").cast("string")
+    planted = F.concat(
+        F.lit(p1 + " "), F.col("text"),
+        F.lit(" user"), d, F.lit("@mail.example.com 415-555-"),
+        F.lpad(d, 4, "0"), F.lit(" cafe\u0301"))
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id", "lang", planted.alias("text")))
+    scrubbed = docs.select(
+        "doc_id", "lang", nfc_normalize(redact_pii(F.col("text")))
+        .alias("text"))
+    inst = dedup_lines(scrubbed, tokens_per_line=8)
+    kept = F.when(F.col("is_first"), F.struct("line_idx", "line"))
+    clean = (inst.groupBy("doc_id").agg(
+        F.array_join(F.transform(F.sort_array(F.collect_list(kept)),
+                                 lambda x: x["line"]), " ").alias("clean")))
+    clean = (clean.join(docs.select("doc_id", "lang"), "doc_id")
+             .withColumn("n_chars", F.length("clean").cast("long")))
+    thr = group_quantile_thresholds(clean, "lang", "n_chars", 0.25)
+    gated = (clean.join(F.broadcast(thr), "lang")
+             .filter(F.col("n_chars") >= F.col("thr"))
+             .select("doc_id",
+                     F.size(F.split("clean", " ")).cast("long")
+                     .alias("toks")))
+    packed = token_budget_shards(gated, "doc_id", F.col("toks"),
+                                 budget=1500, block_size=64)
+    return (packed.groupBy("shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("toks").alias("tok_sum"),
+                 F.sum("doc_id").alias("id_sum")))
+
+
 def _q_x_group_cap(spark, sf_dir):
     """Exact per-source cap (k=20 docs per language, deterministic):
     the winners are the k smallest md5(doc_id:salt) hashes per group,
@@ -2256,6 +2307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.001 AND sf0.01).
     return {
         # --- round-6 additions (never driver-recorded) ---
+        "x_curation_v2": _q_x_curation_v2,
         "x_group_cap": _q_x_group_cap,
         "x_tfidf_terms": _q_x_tfidf_terms,
         "x_context_windows": _q_x_context_windows,
@@ -2548,6 +2600,48 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id) "
             "SELECT id AS doc_id, MIN(comp) AS component "
             "FROM reach GROUP BY id"),
+        "x_curation_v2": (
+            # full five-stage replay: scrub -> NFC -> line dedup ->
+            # quantile gate -> pack, all arithmetic identical
+            "WITH planted AS (SELECT doc_id, lang, "
+            "'all rights reserved by the example corpus authors ' "
+            "|| text || ' user' || doc_id || '@mail.example.com "
+            "415-555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') "
+            "|| ' cafe' || chr(769) AS text FROM documents), "
+            "scrub AS (SELECT doc_id, lang, nfc_normalize("
+            "regexp_replace(regexp_replace(regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g'), "
+            "'\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g'), "
+            "'\\b[0-9]{10,}\\b', '<ACCT>', 'g')) AS text "
+            "FROM planted), "
+            "tok AS (SELECT doc_id, lang, string_split(text, ' ') AS t "
+            "FROM scrub), "
+            "lines AS (SELECT doc_id, i AS line_idx, "
+            "array_to_string(t[(i*8+1):(i*8+8)], ' ') AS line "
+            "FROM tok, UNNEST(generate_series(0, "
+            "CAST((len(t) + 7) // 8 AS BIGINT) - 1)) AS g(i)), "
+            "kept AS (SELECT *, row_number() OVER (PARTITION BY line "
+            "ORDER BY doc_id, line_idx) AS rn FROM lines), "
+            "clean AS (SELECT doc_id, COALESCE(string_agg("
+            "CASE WHEN rn = 1 THEN line END, ' ' ORDER BY line_idx), "
+            "'') AS clean FROM kept GROUP BY doc_id), "
+            "cl AS (SELECT c.doc_id, d.lang, c.clean, "
+            "CAST(length(c.clean) AS BIGINT) AS n_chars "
+            "FROM clean c JOIN documents d USING (doc_id)), "
+            "thr AS (SELECT lang, quantile_cont(n_chars, 0.25) AS thr "
+            "FROM cl GROUP BY lang), "
+            "gated AS (SELECT cl.doc_id, "
+            "CAST(len(string_split(cl.clean, ' ')) AS BIGINT) AS toks "
+            "FROM cl JOIN thr USING (lang) "
+            "WHERE cl.n_chars >= thr.thr), "
+            "cum AS (SELECT doc_id, toks, CAST(SUM(toks) OVER ("
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) AS BIGINT) AS cum FROM gated) "
+            "SELECT CAST((cum - toks) // 1500 AS BIGINT) AS shard, "
+            "count(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS tok_sum, "
+            "CAST(SUM(doc_id) AS BIGINT) AS id_sum "
+            "FROM cum GROUP BY 1"),
         "x_group_cap": (
             # full ranking over every row — the two-phase sampler's
             # winner set must equal it exactly
