@@ -1091,16 +1091,25 @@ def _q_x_curation_v2(spark, sf_dir):
         F.lpad(d, 4, "0"), F.lit(" cafe\u0301"))
     docs = (_t(spark, sf_dir, "documents")
             .select("doc_id", "lang", planted.alias("text")))
+    # STAGE the scrub once: dedup_lines consumes its input twice
+    # (winners groupBy + join back) and everything downstream branches
+    # again, so without a stage the regexp chain + NFC pandas UDF
+    # re-evaluate per branch (measured: 8 ArrowEvalPython nodes, 12
+    # scans — the CLAUDE.md sibling-duplication trap). localCheckpoint
+    # truncates the lineage (components.py precedent); a production
+    # pipeline writes a real parquet stage here, exactly like the
+    # sink stages records.
     scrubbed = docs.select(
         "doc_id", "lang", nfc_normalize(redact_pii(F.col("text")))
-        .alias("text"))
+        .alias("text")).localCheckpoint(eager=False)
     inst = dedup_lines(scrubbed, tokens_per_line=8)
     kept = F.when(F.col("is_first"), F.struct("line_idx", "line"))
     clean = (inst.groupBy("doc_id").agg(
         F.array_join(F.transform(F.sort_array(F.collect_list(kept)),
                                  lambda x: x["line"]), " ").alias("clean")))
-    clean = (clean.join(docs.select("doc_id", "lang"), "doc_id")
-             .withColumn("n_chars", F.length("clean").cast("long")))
+    clean = (clean.join(scrubbed.select("doc_id", "lang"), "doc_id")
+             .withColumn("n_chars", F.length("clean").cast("long"))
+             .localCheckpoint(eager=False))  # feeds thr + gate + pack
     thr = group_quantile_thresholds(clean, "lang", "n_chars", 0.25)
     gated = (clean.join(F.broadcast(thr), "lang")
              .filter(F.col("n_chars") >= F.col("thr"))
