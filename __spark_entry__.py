@@ -1080,7 +1080,7 @@ def _q_x_curation_v2(spark, sf_dir):
     from bank_statement_pdf_parser_spark.functions.textclean import (
         nfc_normalize)
     from bank_statement_pdf_parser_spark.operators.neardup import (
-        dedup_lines)
+        dedup_lines, reassemble_lines)
     from bank_statement_pdf_parser_spark.operators.sharding import (
         group_quantile_thresholds, token_budget_shards)
     p1 = "all rights reserved by the example corpus authors"
@@ -1103,10 +1103,7 @@ def _q_x_curation_v2(spark, sf_dir):
         "doc_id", "lang", nfc_normalize(redact_pii(F.col("text")))
         .alias("text")).localCheckpoint(eager=False)
     inst = dedup_lines(scrubbed, tokens_per_line=8)
-    kept = F.when(F.col("is_first"), F.struct("line_idx", "line"))
-    clean = (inst.groupBy("doc_id").agg(
-        F.array_join(F.transform(F.sort_array(F.collect_list(kept)),
-                                 lambda x: x["line"]), " ").alias("clean")))
+    clean = reassemble_lines(inst)
     clean = (clean.join(scrubbed.select("doc_id", "lang"), "doc_id")
              .withColumn("n_chars", F.length("clean").cast("long"))
              .localCheckpoint(eager=False))  # feeds thr + gate + pack

@@ -315,3 +315,18 @@ def dedup_lines(df: DataFrame, text_col: str = "text",
             .select(F.col("_id").alias(id_col), "line_idx", "line",
                     (F.struct(F.col("_id"), F.col("line_idx"))
                      == F.col("_first")).alias("is_first")))
+
+
+def reassemble_lines(inst: DataFrame, id_col: str = "doc_id",
+                     out_col: str = "clean") -> DataFrame:
+    """Cleaned documents from `dedup_lines` instances: surviving lines
+    rejoined in order (one row per doc; a doc whose every line lost
+    comes back as the empty string, not NULL — kept-count callers can
+    distinguish). Ordered reassembly is collect_list + array_sort on
+    (line_idx, line) structs, so it is shuffle-bounded by the doc's
+    own lines."""
+    kept = F.when(F.col("is_first"), F.struct("line_idx", "line"))
+    return (inst.groupBy(id_col).agg(
+        F.array_join(F.transform(F.sort_array(F.collect_list(kept)),
+                                 lambda x: x["line"]), " ")
+        .alias(out_col)))
