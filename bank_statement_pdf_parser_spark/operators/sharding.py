@@ -182,31 +182,39 @@ def exact_k_per_group(df: DataFrame, group_col: str, k: int,
     h = F.md5(F.concat(F.col(key_col).cast("string"),
                        F.lit(":" + salt)).cast("binary"))
     src = df.withColumn("_h", h)
-    counts = {r[0]: r[1]
-              for r in df.groupBy(group_col).count().collect()}
-    space = 16 ** 8
-
-    def thr_hex(n):
-        frac = min(1.0, oversample * k / max(n, 1))
-        return format(min(space - 1, int(frac * space) + 1), "08x")
-
-    thr_map = F.create_map(*[x for g, n in counts.items()
-                             for x in (F.lit(g), F.lit(thr_hex(n)))])
-    surv = src.filter(F.substring("_h", 1, 8) < thr_map[F.col(group_col)])
+    space = float(16 ** 8)
+    # thresholds computed IN-PLAN from the per-group counts frame —
+    # never collected: with per-domain groups there can be millions of
+    # groups, and a driver-side threshold map would be the same
+    # driver-memory hazard the neardup metrics path was cured of. The
+    # counts join is a plain equi-join (AQE may broadcast it when it
+    # IS small; forcing broadcast here would not scale).
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    thr = (F.least(F.lit(1.0), F.lit(oversample * k) / F.col("_n"))
+           * F.lit(space)).cast("long") + 1
+    joined = src.join(counts.withColumn("_thr", thr), group_col)
+    hv = F.conv(F.substring("_h", 1, 8), 16, 10).cast("long")
+    surv = joined.filter(hv < F.col("_thr"))
     w = (Window.partitionBy(group_col).orderBy("_h", key_col))
     ranked = (surv.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") <= k))
-    got = {r[0]: r[1]
-           for r in ranked.groupBy(group_col).count().collect()}
-    deficient = [g for g, n in counts.items()
-                 if got.get(g, 0) < min(k, n)]
+    # exact deficiency check, also distributed; only the (normally
+    # EMPTY) deficient group list ever reaches the driver
+    kept = ranked.drop("_h", "_rn", "_n", "_thr")
+    got = ranked.groupBy(group_col).agg(F.count("*").alias("_got"))
+    deficient = [r[0] for r in
+                 (counts.join(got, group_col, "left")
+                  .filter(F.coalesce(F.col("_got"), F.lit(0))
+                          < F.least(F.lit(k), F.col("_n")))
+                  .select(group_col).collect())]
     if deficient:
         full = (src.filter(F.col(group_col).isin(deficient))
                 .withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") <= k))
-        ranked = (ranked.filter(~F.col(group_col).isin(deficient))
-                  .unionByName(full))
-    return ranked.drop("_h", "_rn")
+                .filter(F.col("_rn") <= k)
+                .drop("_h", "_rn"))
+        kept = (kept.filter(~F.col(group_col).isin(deficient))
+                .unionByName(full))
+    return kept
 
 
 def group_quantile_thresholds(df: DataFrame, group_col: str,
