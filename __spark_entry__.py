@@ -1064,6 +1064,57 @@ def _q_x_line_dedup(spark, sf_dir):
             .cast("binary")).alias("clean_md5")))
 
 
+def _q_x_asof_nearest(spark, sf_dir):
+    """J5 as-of join, direction='nearest' (pandas merge_asof parity):
+    every purchase takes whichever signup sits closer in time, ties
+    going backward. One hash exchange carries BOTH traversals (the
+    second is a within-partition re-sort). The signed gap_us pins
+    which side won every row; DuckDB replays it as backward ASOF +
+    forward ASOF + the same distance CASE."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.joins import asof_join
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts")
+    right = (ev.filter(F.col("event_type") == "signup")
+             .groupBy("user_id", "ts")
+             .agg(F.max("event_id").alias("s_id")))
+    out = asof_join(left, right, on="user_id", ts_col="ts",
+                    right_cols=("s_id",), dedup_right=False,
+                    direction="nearest")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return out.select(
+        "p_id", "user_id", us("ts").alias("p_us"),
+        F.col("r_s_id").alias("s_id"),
+        (us("ts") - us("r_ts")).alias("gap_us"))
+
+
+_X_ASOF_NEAREST_SQL = """
+WITH l AS (SELECT event_id AS p_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+r AS (SELECT user_id, ts, max(event_id) AS s_id
+      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts),
+b AS (SELECT l.p_id, l.user_id, l.ts, r.s_id AS b_id, r.ts AS b_ts
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts >= r.ts),
+f AS (SELECT l.p_id, r.s_id AS f_id, r.ts AS f_ts
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts <= r.ts)
+SELECT b.p_id, b.user_id, epoch_us(b.ts) AS p_us,
+  CASE WHEN b_ts IS NULL THEN f_id WHEN f_ts IS NULL THEN b_id
+       WHEN epoch_us(f_ts) - epoch_us(b.ts)
+            < epoch_us(b.ts) - epoch_us(b_ts) THEN f_id
+       ELSE b_id END AS s_id,
+  CASE WHEN b_ts IS NULL THEN epoch_us(b.ts) - epoch_us(f_ts)
+       WHEN f_ts IS NULL THEN epoch_us(b.ts) - epoch_us(b_ts)
+       WHEN epoch_us(f_ts) - epoch_us(b.ts)
+            < epoch_us(b.ts) - epoch_us(b_ts)
+            THEN epoch_us(b.ts) - epoch_us(f_ts)
+       ELSE epoch_us(b.ts) - epoch_us(b_ts) END AS gap_us
+FROM b JOIN f USING (p_id)
+"""
+
+
 def _q_x_curation_v2(spark, sf_dir):
     """Composed curation pipeline over the round-6 operators, ONE
     Spark job end to end: planted corpus -> PII scrub (regexp chain)
@@ -2313,6 +2364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.001 AND sf0.01).
     return {
         # --- round-6 additions (never driver-recorded) ---
+        "x_asof_nearest": _q_x_asof_nearest,
         "x_curation_v2": _q_x_curation_v2,
         "x_group_cap": _q_x_group_cap,
         "x_tfidf_terms": _q_x_tfidf_terms,
@@ -2606,6 +2658,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id) "
             "SELECT id AS doc_id, MIN(comp) AS component "
             "FROM reach GROUP BY id"),
+        "x_asof_nearest": _X_ASOF_NEAREST_SQL,
         "x_curation_v2": (
             # full five-stage replay: scrub -> NFC -> line dedup ->
             # quantile gate -> pack, all arithmetic identical

@@ -46,6 +46,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
     r.ts`) — the same union-and-window plan with the traversal order
     reversed; `within` then bounds how far AHEAD the match may be
     (inclusive), mirroring the backward staleness bound.
+    `direction='nearest'` (pandas merge_asof parity) takes whichever
+    of the two sits closer in time, ties and exact-ts matches going
+    backward; both carries ride the SAME single hash exchange (the
+    window re-sorts within partitions for the second traversal), and
+    `within` bounds each side before the choice.
 
     `within` bounds match staleness (DuckDB/kdb-style tolerance): a
     SQL interval string such as '7 days' or '30 minutes'; a carried
@@ -105,17 +110,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
     r = r.select("*", *[F.lit(None).cast(t).alias(n)
                         for n, t in lfields.items() if n not in r.columns])
     both = l.unionByName(r.select(*l.columns))
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction={direction!r}: expected "
-                         f"'backward' or 'forward'")
-    # right rows sort BEFORE left rows at equal ts -> inclusive as-of;
-    # forward traverses descending ts so last(non-null) is the
-    # EARLIEST right row at-or-after each left row
-    ts_order = (F.col(ts_col).desc() if direction == "forward"
-                else F.col(ts_col).asc())
-    w = (Window.partitionBy(on).orderBy(ts_order, F.col("_side").asc())
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    both = both.withColumn("_r", F.last("_r", ignorenulls=True).over(w))
+                         f"'backward', 'forward' or 'nearest'")
+    bound = None
     if within is not None:
         import re
         if not re.fullmatch(r"[0-9]+\s+[A-Za-z]+", within.strip()):
@@ -123,12 +121,49 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
                 f"within={within!r}: expected a SQL interval string "
                 f"like '7 days' or '30 minutes'")
         bound = F.expr(f"INTERVAL {within.strip()}")
-        lts = F.col(ts_col).cast("timestamp")
-        rts = F.col("_r.r_ts").cast("timestamp")
-        fresh = (rts <= lts + bound if direction == "forward"
-                 else lts <= rts + bound)
-        # NULL _r (no match at all) stays NULL: fresh is NULL -> else
-        both = both.withColumn("_r", F.when(fresh, F.col("_r")))
+    lts = F.col(ts_col).cast("timestamp")
+
+    def _carry(dirn):
+        # right rows sort BEFORE left rows at equal ts -> inclusive
+        # as-of; forward traverses descending ts so last(non-null) is
+        # the EARLIEST right row at-or-after each left row
+        ts_order = (F.col(ts_col).desc() if dirn == "forward"
+                    else F.col(ts_col).asc())
+        w = (Window.partitionBy(on)
+             .orderBy(ts_order, F.col("_side").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        c = F.last("_r", ignorenulls=True).over(w)
+        if bound is not None:
+            rts = c["r_ts"].cast("timestamp")
+            fresh = (rts <= lts + bound if dirn == "forward"
+                     else lts <= rts + bound)
+            # NULL carry (no match at all) stays NULL: fresh is NULL
+            c = F.when(fresh, c)
+        return c
+
+    if direction == "nearest":
+        # pandas merge_asof 'nearest': whichever of the two carries
+        # sits closer in time wins; EQUAL distances (incl. an exact
+        # ts match, present in both carries) prefer the backward row.
+        # Both windows share the ONE hash exchange on the key — the
+        # plan re-sorts within partitions for the second traversal
+        # but never reshuffles. `within` bounds each side before the
+        # choice, so a one-sided stale match falls through to the
+        # other side.
+        both = (both.withColumn("_rb", _carry("backward"))
+                .withColumn("_rf", _carry("forward")))
+        db = F.unix_micros(lts) - F.unix_micros(
+            F.col("_rb")["r_ts"].cast("timestamp"))
+        df_ = F.unix_micros(
+            F.col("_rf")["r_ts"].cast("timestamp")) - F.unix_micros(lts)
+        both = both.withColumn(
+            "_r",
+            F.when(F.col("_rb").isNull(), F.col("_rf"))
+            .when(F.col("_rf").isNull(), F.col("_rb"))
+            .when(df_ < db, F.col("_rf"))
+            .otherwise(F.col("_rb"))).drop("_rb", "_rf")
+    else:
+        both = both.withColumn("_r", _carry(direction))
     carried = ["r_ts"] + [f"r_{c}" for c in right_cols]
     return (both.filter(F.col("_side") == 1)
             .select(*left.columns,

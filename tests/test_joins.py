@@ -251,3 +251,46 @@ def test_asof_and_range_match_python_mirror_randomized(spark):
                       for (_u, rs), (rid, _v) in right.items()
                       if a <= rs < b}
         assert got_pairs == want_pairs, seed
+
+
+def test_asof_nearest_semantics(spark):
+    """Closer side wins; exact-ts and equidistant ties go backward;
+    one-sided cases fall through; no match at all stays NULL."""
+    from pyspark.sql import functions as F
+
+    from bank_statement_pdf_parser_spark.operators.joins import asof_join
+    left = spark.createDataFrame(
+        [("u", 100, "l1"), ("u", 205, "l2"), ("u", 260, "l3"),
+         ("v", 50, "l4"), ("w", 10, "l5")],
+        "user_id string, ts long, tag string")
+    right = spark.createDataFrame(
+        [("u", 100, "r100"), ("u", 200, "r200"), ("u", 300, "r300"),
+         ("v", 90, "r90")],
+        "user_id string, ts long, name string")
+    out = {r.tag: (r.r_name, r.r_ts)
+           for r in asof_join(left, right, on="user_id", ts_col="ts",
+                              right_cols=("name",), dedup_right=False,
+                              direction="nearest").collect()}
+    assert out["l1"] == ("r100", 100)   # exact match (tie) -> backward
+    assert out["l2"] == ("r200", 200)   # 5 behind vs 95 ahead
+    assert out["l3"] == ("r300", 300)   # 60 behind vs 40 ahead -> fwd
+    assert out["l4"] == ("r90", 90)     # only a forward match exists
+    assert out["l5"] == (None, None)    # no right rows for the key
+
+
+def test_asof_nearest_single_exchange(spark):
+    """Both traversals must share one hash exchange on the key."""
+    from pyspark.sql import functions as F
+
+    from bank_statement_pdf_parser_spark.operators.joins import asof_join
+    left = spark.createDataFrame(
+        [("u", 1)], "user_id string, ts long")
+    right = spark.createDataFrame(
+        [("u", 2, 9)], "user_id string, ts long, v long")
+    out = asof_join(left, right, on="user_id", ts_col="ts",
+                    right_cols=("v",), dedup_right=False,
+                    direction="nearest")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning(user_id") == 1
