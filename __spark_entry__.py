@@ -2351,6 +2351,101 @@ FROM e
 """
 
 
+def _q_x_knn_batch(spark, sf_dir):
+    """Batched exact top-k cosine: 4 probe vectors scored against the
+    whole embeddings corpus in ONE scan (ann.knn_topk_batch, arrow
+    engine: per-Arrow-batch float64 matmul + lossless local top-k cut,
+    so only batches x M x k slim rows leave the scan; final window
+    runs over 4 tiny groups). Ranking order (round(cos,6) DESC,
+    vec_id ASC) is the oracle's ORDER BY, verbatim — exact top-k, not
+    approximate."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.ann import knn_topk_batch
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 125 == 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    return knn_topk_batch(emb, qs, k=5)
+
+
+_X_KNN_BATCH_SQL = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+           WHERE vec_id % 125 = 3),
+z AS (SELECT q.q_id, e.vec_id, unnest(e.embedding)::DOUBLE AS a,
+             unnest(q.q_emb)::DOUBLE AS b
+      FROM embeddings e CROSS JOIN q),
+d AS (SELECT q_id, vec_id, SUM(a * b) AS dot,
+             sqrt(SUM(a * a)) * sqrt(SUM(b * b)) AS nrm
+      FROM z GROUP BY q_id, vec_id),
+r AS (SELECT q_id, vec_id, round(dot / nrm, 6) AS cos_r,
+             CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY round(dot / nrm, 6) DESC, vec_id) AS BIGINT)
+             AS rnk
+      FROM d)
+SELECT q_id, vec_id, cos_r, rnk FROM r WHERE rnk <= 5
+"""
+
+
+def _q_x_minhash_est(spark, sf_dir):
+    """MinHash Jaccard ESTIMATOR, engine-portable and oracle-exact:
+    16 md5 min-hashes per doc (neardup.minhash_md5_long — md5 hex +
+    lexicographic min replay identically in ANSI SQL) joined against
+    the exact shingle Jaccard on the same pairs, so the gate verifies
+    the estimator's VALUE — not just the LSH banding built on top of
+    it (x_neardup_pipeline). Corpus: docs with >=40 tokens UNION a
+    +100000 copy with the first 30 tokens dropped; pairs (i, i+1e5)
+    span a full range of true Jaccards, every one ANSI-predicted."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.neardup import (
+        minhash_estimate_pairs, minhash_md5_long, ngram_jaccard_pairs,
+        shingles)
+    toks = F.split(F.col("text"), " ")
+    base = (_t(spark, sf_dir, "documents")
+            .filter((F.col("doc_id") % 3 == 0) & (F.size(toks) >= 40))
+            .select("doc_id", "text"))
+    tail = F.array_join(F.slice(toks, 31, F.size(toks) - 30), " ")
+    corpus = base.unionByName(base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), tail.alias("text")))
+    pairs = base.select(F.col("doc_id").alias("a"),
+                        (F.col("doc_id") + 100000).alias("b"))
+    sig = minhash_md5_long(shingles(corpus), n_hashes=16)
+    est = minhash_estimate_pairs(sig, pairs)
+    ex = ngram_jaccard_pairs(corpus, pairs)
+    return (est.join(ex, ["a", "b"])
+            .select("a", "b", F.round("est_jaccard", 6).alias("est_j"),
+                    F.round("jaccard", 6).alias("exact_j")))
+
+
+_X_MINHASH_EST_SQL = """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+              WHERE doc_id % 3 = 0
+                AND len(string_split(text, ' ')) >= 40),
+corpus AS (SELECT doc_id, t FROM base
+           UNION ALL SELECT doc_id + 100000, t[31:] FROM base),
+grams AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ')
+                 AS shingle
+          FROM corpus, UNNEST(generate_series(1, len(t) - 4)) AS g(i)),
+sig AS (SELECT doc_id, seed,
+               min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh
+        FROM grams CROSS JOIN UNNEST(generate_series(0, 15)) AS s(seed)
+        GROUP BY doc_id, seed),
+pairs AS (SELECT doc_id AS a, doc_id + 100000 AS b FROM base),
+est AS (SELECT p.a, p.b,
+               avg(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END) AS e
+        FROM pairs p JOIN sig sa ON sa.doc_id = p.a
+        JOIN sig sb ON sb.doc_id = p.b AND sb.seed = sa.seed
+        GROUP BY p.a, p.b),
+sz AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (SELECT p.a, p.b, count(*) AS ni
+          FROM pairs p JOIN grams ga ON ga.doc_id = p.a
+          JOIN grams gb ON gb.doc_id = p.b AND gb.shingle = ga.shingle
+          GROUP BY p.a, p.b)
+SELECT e.a, e.b, round(e.e, 6) AS est_j,
+       round(CAST(i.ni AS DOUBLE) / (za.n + zb.n - i.ni), 6) AS exact_j
+FROM est e JOIN inter i ON i.a = e.a AND i.b = e.b
+JOIN sz za ON za.doc_id = e.a JOIN sz zb ON zb.doc_id = e.b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness records only the
     # first ~50 registry entries (CORRECTNESS_r03/r04 both stopped at
@@ -2364,6 +2459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.001 AND sf0.01).
     return {
         # --- round-6 additions (never driver-recorded) ---
+        "x_knn_batch": _q_x_knn_batch,
+        "x_minhash_est": _q_x_minhash_est,
         "x_asof_nearest": _q_x_asof_nearest,
         "x_curation_v2": _q_x_curation_v2,
         "x_group_cap": _q_x_group_cap,
@@ -2464,6 +2561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "x_knn_batch": _X_KNN_BATCH_SQL,
+        "x_minhash_est": _X_MINHASH_EST_SQL,
         "flagship_extract_transactions": _FLAGSHIP_TXNS_SQL,
         "flagship_extract_spans": _FLAGSHIP_SPANS_SQL,
         "flagship_relational_txns": _FLAGSHIP_TXNS_SQL,

@@ -429,3 +429,101 @@ def seed_centroid(df: DataFrame, vec_col: str = "embedding",
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct("_dim", "_c"))),
                 lambda x: x["_c"]).alias(out_col)))
+
+
+def knn_topk_batch(df: DataFrame, queries: DataFrame, k: int = 5,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   arrow: bool = True) -> DataFrame:
+    """Exact top-k cosine neighbours for a BATCH of query vectors in
+    ONE scan of the corpus (the "score a benchmark/probe set against
+    the whole training corpus" shape).
+
+    `queries` is a small frame (`q_id`, `q_emb`) — bounded by contract
+    (a probe set, not a second corpus; for corpus x corpus use the LSH
+    /IVF pair path). It is collected once on the driver (tiny) and
+    rides the task closure / a broadcast into the kernel.
+
+    Scale shape (arrow=True, the default): each Arrow batch computes
+    the full [batch x M] cosine matrix with one float64 matmul and
+    emits only its LOCAL top-k rows per query — at most
+    (batches x M x k) slim rows ever leave the scan, so the corpus
+    itself is never shuffled. A final window over the M tiny groups
+    ranks the partials. Top-k by a TOTAL order (round(cos, 6) DESC,
+    id ASC) composes: the global top-k is a subset of the union of
+    per-batch top-k under the same order, so the local cut is
+    lossless. The same order is applied in the local cut (numpy) and
+    the global rank (Catalyst), making the plan exact, not
+    approximate.
+
+    arrow=False is the interpreted-HOF Catalyst baseline (broadcast
+    cross join + zip_with dot), kept for engine-parity tests.
+    """
+    import numpy as np
+
+    qrows = queries.select("q_id", "q_emb").collect()
+    if arrow:
+        from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                       StructType)
+        qids = np.asarray([r["q_id"] for r in qrows], dtype=np.int64)
+        qmat = np.asarray([[float(x) for x in r["q_emb"]] for r in qrows],
+                          dtype=np.float64)
+        qnrm = np.sqrt((qmat * qmat).sum(axis=1))
+        payload = (qids, qmat, qnrm)
+        out_schema = StructType([StructField("q_id", LongType()),
+                                 StructField(id_col, LongType()),
+                                 StructField("cos", DoubleType())])
+        slim = df.select(F.col(id_col).cast("long").alias(id_col),
+                         F.col(vec_col).alias("_v"))
+
+        def kernel(batches):
+            import numpy as np
+            import pandas as pd
+            qi, qm, qn = payload
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vecs = np.stack([np.asarray(v, dtype=np.float64)
+                                 for v in pdf["_v"]])
+                vn = np.sqrt((vecs * vecs).sum(axis=1))
+                cos = (vecs @ qm.T) / (vn[:, None] * qn[None, :])
+                cos_r = np.round(cos, 6)
+                ids = pdf[id_col].to_numpy()
+                outs = []
+                for j in range(len(qi)):
+                    # lexsort: last key is primary -> (-cos_r, id)
+                    order = np.lexsort((ids, -cos_r[:, j]))[:k]
+                    outs.append(pd.DataFrame({
+                        "q_id": np.full(len(order), qi[j]),
+                        id_col: ids[order],
+                        "cos": cos[order, j]}))
+                yield pd.concat(outs)
+
+        partial = slim.mapInPandas(kernel, out_schema)
+    else:
+        spark = df.sparkSession
+        qdf = spark.createDataFrame(
+            [(int(r["q_id"]), [float(x) for x in r["q_emb"]])
+             for r in qrows],
+            "q_id bigint, q_emb array<double>")
+
+        def dot(va, vb):
+            return F.aggregate(
+                F.zip_with(va, vb,
+                           lambda x, y: x.cast("double") * y.cast("double")),
+                F.lit(0.0), lambda acc, v: acc + v)
+
+        e = df.crossJoin(F.broadcast(qdf))
+        v, q = F.col(vec_col), F.col("q_emb")
+        partial = e.select(
+            "q_id", F.col(id_col).cast("long").alias(id_col),
+            (dot(v, q) / (F.sqrt(dot(v, v)) * F.sqrt(dot(q, q))))
+            .alias("cos"))
+
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy("q_id")
+         .orderBy(F.round("cos", 6).desc(), F.col(id_col)))
+    return (partial
+            .withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= k)
+            .select("q_id", id_col, F.round("cos", 6).alias("cos_r"),
+                    "rnk"))

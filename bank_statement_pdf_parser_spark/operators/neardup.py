@@ -330,3 +330,44 @@ def reassemble_lines(inst: DataFrame, id_col: str = "doc_id",
         F.array_join(F.transform(F.sort_array(F.collect_list(kept)),
                                  lambda x: x["line"]), " ")
         .alias(out_col)))
+
+
+def minhash_md5_long(sh: DataFrame, n_hashes: int = 16) -> DataFrame:
+    """Engine-portable MinHash in LONG form: one row per
+    (doc_id, seed) with `mh` = min over the doc's shingles of
+    md5(seed ':' shingle) as lowercase hex. md5-of-string and
+    lexicographic MIN over fixed-width hex are identical in Spark and
+    ANSI SQL engines, so an oracle can replay the signature EXACTLY —
+    unlike the xxhash64 production path (`minhash_signatures`), which
+    is faster but Spark-specific.
+
+    Shape: explode the seed range over the shingle frame
+    (n_hashes x shingles rows, map-side only) then ONE
+    partial-aggregatable groupBy min — each task collapses to
+    (docs-in-task x n_hashes) partial rows before the shuffle, the
+    same scaling class as `minhash_signatures`."""
+    e = sh.select(
+        "doc_id", "shingle",
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"))
+    mh = F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))
+               .cast("binary"))
+    return e.groupBy("doc_id", "seed").agg(F.min(mh).alias("mh"))
+
+
+def minhash_estimate_pairs(sig_long: DataFrame,
+                           pairs: DataFrame) -> DataFrame:
+    """Estimated Jaccard per candidate pair = fraction of agreeing
+    min-hash components (the textbook unbiased MinHash estimator,
+    E[match] = J). Long-form signatures join per (doc, seed), so the
+    whole estimate is two equi-joins + one partial-aggregatable
+    groupBy avg — no arrays are materialized and no driver round-trip
+    happens; at 10^9 docs the joins shuffle only
+    (candidate-pairs x n_hashes) slim rows."""
+    a = sig_long.select(F.col("doc_id").alias("a"), "seed",
+                        F.col("mh").alias("mha"))
+    b = sig_long.select(F.col("doc_id").alias("b"), "seed",
+                        F.col("mh").alias("mhb"))
+    j = pairs.join(a, "a").join(b, ["b", "seed"])
+    return (j.groupBy("a", "b")
+            .agg(F.avg((F.col("mha") == F.col("mhb")).cast("double"))
+                 .alias("est_jaccard")))

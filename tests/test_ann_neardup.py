@@ -322,3 +322,78 @@ def test_seed_centroid_exact_and_distributed(spark):
     assert row.q_emb == [3.0, 4.0, 10.0]
     plan = seed_centroid(df)._jdf.queryExecution().executedPlan().toString()
     assert "partial_avg" in plan
+
+
+def test_knn_batch_engines_agree_and_local_cut_lossless(spark):
+    """arrow (local top-k cut per Arrow batch) and Catalyst (full
+    broadcast cross join) engines must produce the SAME exact top-k,
+    including under tiny Arrow batches — the lossless-cut claim: the
+    global top-k under (round(cos,6) DESC, id ASC) is recoverable
+    from per-batch top-k under the same total order."""
+    from bank_statement_pdf_parser_spark.operators.ann import knn_topk_batch
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=16)])
+            for i in range(400)]
+    df = (spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+          .repartition(8))
+    qs = df.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        # 400 rows / 8 partitions / batches of 7 -> ~8 local cuts per
+        # query feeding the final window
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        a = {(r.q_id, r.vec_id, r.cos_r, r.rnk)
+             for r in knn_topk_batch(df, qs, k=9, arrow=True).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    b = {(r.q_id, r.vec_id, r.cos_r, r.rnk)
+         for r in knn_topk_batch(df, qs, k=9, arrow=False).collect()}
+    assert a == b
+    assert len(a) == 4 * 9
+    # each query's rank-1 neighbour is itself (cos 1.0)
+    self_hits = {(q, v) for q, v, c, r in a if r == 1}
+    assert self_hits == {(7, 7), (107, 107), (207, 207), (307, 307)}
+
+
+def test_knn_batch_no_corpus_shuffle(spark):
+    """The arrow plan's only Exchange carries the (batches x M x k)
+    partial rows — the corpus reaches the kernel shuffle-free."""
+    from bank_statement_pdf_parser_spark.operators.ann import knn_topk_batch
+    rng = np.random.default_rng(6)
+    rows = [(i, [float(x) for x in rng.normal(size=8)])
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.limit(2).select(F.col("vec_id").alias("q_id"),
+                            F.col("embedding").alias("q_emb"))
+    plan = (knn_topk_batch(df, qs, k=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    pre, _, post = plan.partition("MapInPandas")
+    # the scan side (below MapInPandas in the tree = printed after it)
+    # must contain no Exchange; the one hash exchange feeds the window
+    assert "Exchange" not in post
+    assert pre.count("Exchange hashpartitioning") == 1
+
+
+def test_minhash_estimator_bounds_and_portable_hash(spark):
+    """est=1.0 on identical docs, 0.0 on disjoint docs, and the md5
+    min-hash matches a driver-side replay of the same arithmetic
+    (the ANSI-portability contract of minhash_md5_long)."""
+    import hashlib
+    from bank_statement_pdf_parser_spark.operators.neardup import (
+        minhash_estimate_pairs, minhash_md5_long, shingles)
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t2 = "one two three four five six seven eight nine ten eleven"
+    df = spark.createDataFrame(
+        [(1, t1), (2, t1), (3, t2)], "doc_id long, text string")
+    sig = minhash_md5_long(shingles(df), n_hashes=8)
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "a long, b long")
+    got = {(r.a, r.b): r.est_jaccard
+           for r in minhash_estimate_pairs(sig, pairs).collect()}
+    assert got == {(1, 2): 1.0, (1, 3): 0.0}
+    # portability: replay doc 3 / seed 5 on the driver
+    toks = t2.split(" ")
+    sh = {" ".join(toks[i:i + 5]) for i in range(len(toks) - 4)}
+    want = min(hashlib.md5(f"5:{s}".encode()).hexdigest() for s in sh)
+    row = [r for r in sig.collect() if r.doc_id == 3 and r.seed == 5]
+    assert row[0].mh == want
