@@ -143,7 +143,11 @@ exchanges — tokenize-again (~1.3 s) vs stage-encode+exchange
 sort, parquet encode) the raw unit also pays. Whenever the outputs
 are read even once, staging wins over re-extraction — which is why
 the production path stages records instead of re-running or
-persist()ing the tokenizer (CLAUDE.md note).
+persist()ing the tokenizer (CLAUDE.md note). Parquet dictionary
+encoding on the durable writes was A/B'd (round 6, interleaved
+best-of-4 rewrites of both outputs): disabling it saves ~6% of the
+write wall (~1% of the sink) but grows the files 8-10% — rejected;
+the dictionary stays on.
 
 The 4-group configuration re-scans the input once per group in this
 parquet sandbox (bucket is a computed column, not a storage

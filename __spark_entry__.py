@@ -2351,6 +2351,81 @@ FROM e
 """
 
 
+def _q_x_stream_window(spark, sf_dir):
+    """Watermarked event-time windowed aggregation (§2.10:
+    streaming/metrics_stream.windowed_turn_metrics) under the DuckDB
+    gate. Events stream in THREE micro-batches: every day but the
+    last; the last day's morning; then its evening PLUS planted late
+    copies of first-day rows. Batch 0 advances the watermark past
+    every early window's end, batch 1 EVICTS them (emission), so the
+    batch-2 plants hit an already-finalized window and are DROPPED
+    (measured semantics, Spark 4: a late row merging into still-LIVE
+    state is accepted — the drop predicate is the previous batch's
+    committed watermark, hence the middle batch); append mode
+    withholds the still-open last-day window. The oracle replays the
+    watermark arithmetic in ANSI SQL: a plain day-bucket aggregation
+    of events (plants dropped => totals equal the batch aggregation)
+    filtered to window_end <= max(ts) - 1h. Late-drop and emission
+    discipline are both value-checked, not just row-counted."""
+    _prep(spark)
+    import shutil
+    import tempfile
+    from bank_statement_pdf_parser_spark.streaming.metrics_stream import (
+        windowed_turn_metrics)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_type").alias("role"), F.col("props").alias("text"))
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    day1_end = lo.replace(hour=0, minute=0, second=0,
+                          microsecond=0) + __import__(
+                              "datetime").timedelta(days=1)
+    cut = hi.replace(hour=0, minute=0, second=0, microsecond=0)
+    noon = cut + __import__("datetime").timedelta(hours=12)
+    early = ev.filter(F.col("ts") < F.lit(cut))
+    morning = ev.filter((F.col("ts") >= F.lit(cut))
+                        & (F.col("ts") < F.lit(noon)))
+    # late-beyond-watermark plants: first-day rows re-delivered in
+    # batch 2 — batch 1 ran with batch 0's committed watermark and
+    # evicted their window, so batch 2's filter drops them
+    late = early.filter((F.col("ts") < F.lit(day1_end))
+                        & (F.col("event_id") % 5 == 0))
+    evening = ev.filter(F.col("ts") >= F.lit(noon)).unionByName(late)
+    tmp = tempfile.mkdtemp(prefix="x-stream-window-")
+    try:
+        sel = ("ts", "role", "text")
+        early.select(*sel).coalesce(1).write.parquet(f"{tmp}/src/f0")
+        morning.select(*sel).coalesce(1).write.parquet(f"{tmp}/src/f1")
+        evening.select(*sel).coalesce(1).write.parquet(f"{tmp}/src/f2")
+        stream = (spark.readStream
+                  .schema("ts timestamp, role string, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/src/*"))
+        q = (windowed_turn_metrics(stream, window_dur="1 day",
+                                   watermark="1 hour")
+             .writeStream.format("memory").queryName("x_stream_window")
+             .outputMode("append")
+             .option("checkpointLocation", f"{tmp}/ck").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (spark.sql("SELECT * FROM x_stream_window")
+            .select(F.unix_micros(F.col("win.start").cast("timestamp"))
+                    .alias("w_us"), "role", "n_turns", "bytes_in"))
+
+
+_X_STREAM_WINDOW_SQL = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+agg AS (SELECT time_bucket(INTERVAL 1 DAY, ts) AS ws,
+               event_type AS role, count(*) AS n_turns,
+               CAST(sum(strlen(props)) AS BIGINT) AS bytes_in
+        FROM events GROUP BY 1, 2)
+SELECT epoch_us(ws) AS w_us, role, n_turns, bytes_in
+FROM agg, mx WHERE ws + INTERVAL 1 DAY <= m - INTERVAL 1 HOUR
+"""
+
+
 def _q_x_knn_batch(spark, sf_dir):
     """Batched exact top-k cosine: 4 probe vectors scored against the
     whole embeddings corpus in ONE scan (ann.knn_topk_batch, arrow
@@ -2459,6 +2534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.001 AND sf0.01).
     return {
         # --- round-6 additions (never driver-recorded) ---
+        "x_stream_window": _q_x_stream_window,
         "x_knn_batch": _q_x_knn_batch,
         "x_minhash_est": _q_x_minhash_est,
         "x_asof_nearest": _q_x_asof_nearest,
@@ -2561,6 +2637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "x_stream_window": _X_STREAM_WINDOW_SQL,
         "x_knn_batch": _X_KNN_BATCH_SQL,
         "x_minhash_est": _X_MINHASH_EST_SQL,
         "flagship_extract_transactions": _FLAGSHIP_TXNS_SQL,
