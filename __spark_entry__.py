@@ -2351,6 +2351,37 @@ FROM e
 """
 
 
+def _q_x_repeat_upsample(spark, sf_dir):
+    """Deterministic mixture UP-sampling (sharding.repeat_upsample):
+    en docs get 2 + (md5 < '8' ? 1 : 0) copies (~2.5 epochs), de
+    1 + (md5 < '4') (~1.25), fr 0 + (md5 < '8') (~0.5 — fractional-
+    only keeps double as downsampling), everything else exactly 1.
+    Pure projection + explode, no RNG state — the oracle replays the
+    md5 threshold and generate_series exactly."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.sharding import (
+        repeat_upsample)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = repeat_upsample(docs, "lang",
+                          {"en": (2, "8"), "de": (1, "4"),
+                           "fr": (0, "8")})
+    return out.select("doc_id", "lang", "copy_idx")
+
+
+_X_REPEAT_UPSAMPLE_SQL = """
+WITH f AS (SELECT doc_id, lang,
+  CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 1 WHEN 'fr' THEN 0
+            ELSE 1 END
+  + CASE WHEN md5(CAST(doc_id AS VARCHAR) || ':up1') <
+      CASE lang WHEN 'en' THEN '8' WHEN 'de' THEN '4'
+                WHEN 'fr' THEN '8' ELSE '0' END
+    THEN 1 ELSE 0 END AS n
+  FROM documents)
+SELECT doc_id, lang, CAST(ci AS BIGINT) AS copy_idx
+FROM f, UNNEST(generate_series(1, n)) AS g(ci)
+"""
+
+
 def _q_x_stream_window(spark, sf_dir):
     """Watermarked event-time windowed aggregation (§2.10:
     streaming/metrics_stream.windowed_turn_metrics) under the DuckDB
@@ -2534,6 +2565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.001 AND sf0.01).
     return {
         # --- round-6 additions (never driver-recorded) ---
+        "x_repeat_upsample": _q_x_repeat_upsample,
         "x_stream_window": _q_x_stream_window,
         "x_knn_batch": _q_x_knn_batch,
         "x_minhash_est": _q_x_minhash_est,
@@ -2637,6 +2669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "x_repeat_upsample": _X_REPEAT_UPSAMPLE_SQL,
         "x_stream_window": _X_STREAM_WINDOW_SQL,
         "x_knn_batch": _X_KNN_BATCH_SQL,
         "x_minhash_est": _X_MINHASH_EST_SQL,

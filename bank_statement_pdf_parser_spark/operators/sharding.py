@@ -238,3 +238,37 @@ def group_quantile_thresholds(df: DataFrame, group_col: str,
                                     F.lit(int(approx_accuracy)))
            .cast("double"))
     return df.groupBy(group_col).agg(agg.alias("thr"))
+
+
+def repeat_upsample(df: DataFrame, group_col: str,
+                    factors: dict[str, tuple[int, str]],
+                    key_col: str = "doc_id", salt: str = "up1",
+                    default: tuple[int, str] = (1, "0")) -> DataFrame:
+    """Deterministic mixture UP-sampling (the temperature-resampling
+    companion to `hash_mix`'s downsampling): each row is emitted
+    `int_copies` times plus one more iff md5(key:salt) falls under the
+    fractional hex threshold — the "N epochs + fractional epoch"
+    repeat schedule for under-represented sources, reproducible across
+    engines and re-runs (no RNG state, no floats).
+
+    `factors`: group -> (int_copies, frac_hex) where frac_hex is a
+    1-char md5-prefix threshold ('8' ~ +0.5 epochs, '4' ~ +0.25,
+    '0' ~ +0). int_copies=0 with a threshold gives plain downsampling.
+
+    Shape: pure projection + explode — no shuffle, no driver state;
+    `copy_idx` (1-based) makes the emitted rows distinct so downstream
+    sharding/shuffles treat repeats as independent rows."""
+    h = F.md5(F.concat(F.col(key_col).cast("string"),
+                       F.lit(":" + salt)).cast("binary"))
+    base, thr = F.lit(default[0]), F.lit(default[1])
+    for g, (b, t) in factors.items():
+        cond = F.col(group_col) == g
+        base = F.when(cond, F.lit(b)).otherwise(base)
+        thr = F.when(cond, F.lit(t)).otherwise(thr)
+    n = (base + (h < thr).cast("int")).cast("int")
+    # explicit empty branch: Spark's sequence(1, 0) would count DOWN
+    # (step defaults to -1 when start > stop), not yield []
+    copies = (F.when(n >= 1, F.sequence(F.lit(1), n))
+              .otherwise(F.array().cast("array<int>")))
+    return (df.withColumn("copy_idx", F.explode(copies))
+            .withColumn("copy_idx", F.col("copy_idx").cast("long")))

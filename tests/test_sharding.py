@@ -200,3 +200,31 @@ def test_exact_k_per_group_fallback_path(spark):
            for r in exact_k_per_group(df, "lang", k=5,
                                       oversample=1e-6).collect()}
     assert got == _cap_reference(rows, 5)
+
+
+def test_repeat_upsample_counts_and_empties(spark):
+    """Copy counts are int_copies + {0,1} by the md5 threshold; a
+    (0, thr) group drops rows whose hash clears the threshold (zero
+    copies emitted, not a sequence error); copy_idx is contiguous
+    1..n."""
+    import hashlib
+    from bank_statement_pdf_parser_spark.operators.sharding import (
+        repeat_upsample)
+    rows = [(i, ["en", "de", "fr", "xx"][i % 4]) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = repeat_upsample(df, "lang",
+                          {"en": (2, "8"), "de": (1, "4"),
+                           "fr": (0, "8")}).collect()
+    got = {}
+    for r in out:
+        got.setdefault((r.doc_id, r.lang), []).append(r.copy_idx)
+    thr = {"en": ("8", 2), "de": ("4", 1), "fr": ("8", 0), "xx": ("0", 1)}
+    n_zero = 0
+    for i, lang in rows:
+        t, base = thr[lang]
+        h = hashlib.md5(f"{i}:up1".encode()).hexdigest()
+        want = base + (1 if h < t else 0)
+        idxs = sorted(got.get((i, lang), []))
+        assert idxs == list(range(1, want + 1)), (i, lang, idxs, want)
+        n_zero += want == 0
+    assert n_zero > 0  # the fr/over-threshold branch actually fired
