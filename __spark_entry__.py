@@ -2351,6 +2351,47 @@ FROM e
 """
 
 
+def _q_x_filter_funnel(spark, sf_dir):
+    """Single-pass curation funnel (textstats.filter_funnel): three
+    chained quality gates (min length, non-alpha ratio as an integer
+    cross-product — no float ratios — and an ' the '-count English
+    heuristic) reported as per-stage in/out/dropped counts from ONE
+    aggregation over the corpus. The oracle replays the cumulative-AND
+    conditional sums."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.textstats import (
+        filter_funnel)
+    docs = _t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    n = F.length(txt)
+    nonalpha = F.length(F.regexp_replace(txt, "[a-z ]", ""))
+    the_cnt = n - F.length(F.replace(txt, F.lit(" the "), F.lit("")))
+    return filter_funnel(docs, [
+        ("min_length", n >= 200),
+        ("alpha_ratio", nonalpha * 10 < n * 3),
+        ("english", the_cnt >= 5)])
+
+
+_X_FILTER_FUNNEL_SQL = """
+WITH c AS (SELECT length(text) AS n,
+                  length(regexp_replace(text, '[a-z ]', '', 'g')) AS na,
+                  length(text) - length(replace(text, ' the ', '')) AS th
+           FROM documents),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN n >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(sum(CASE WHEN n >= 200 AND na * 10 < n * 3
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN n >= 200 AND na * 10 < n * 3
+                       AND th >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+      FROM c)
+SELECT CAST(0 AS BIGINT) AS stage_idx, 'min_length' AS stage,
+       n0 AS n_in, n1 AS n_out, n0 - n1 AS n_dropped FROM t
+UNION ALL SELECT 1, 'alpha_ratio', n1, n2, n1 - n2 FROM t
+UNION ALL SELECT 2, 'english', n2, n3, n2 - n3 FROM t
+"""
+
+
 def _q_x_repeat_upsample(spark, sf_dir):
     """Deterministic mixture UP-sampling (sharding.repeat_upsample):
     en docs get 2 + (md5 < '8' ? 1 : 0) copies (~2.5 epochs), de
@@ -2565,6 +2606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.001 AND sf0.01).
     return {
         # --- round-6 additions (never driver-recorded) ---
+        "x_filter_funnel": _q_x_filter_funnel,
         "x_repeat_upsample": _q_x_repeat_upsample,
         "x_stream_window": _q_x_stream_window,
         "x_knn_batch": _q_x_knn_batch,
@@ -2669,6 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "x_filter_funnel": _X_FILTER_FUNNEL_SQL,
         "x_repeat_upsample": _X_REPEAT_UPSAMPLE_SQL,
         "x_stream_window": _X_STREAM_WINDOW_SQL,
         "x_knn_batch": _X_KNN_BATCH_SQL,

@@ -187,3 +187,34 @@ def repetition_signals(text: Column, ns: tuple[int, ...] = (2, 3)) \
         out[f"n_distinct_{n}grams"] = \
             F.size(F.array_distinct(grams)).cast("long")
     return out
+
+
+def filter_funnel(df: DataFrame,
+                  stages: list[tuple[str, Column]]) -> DataFrame:
+    """Single-pass quality-gate FUNNEL: for an ordered list of
+    (stage_name, keep_predicate), report per stage how many rows
+    entered, survived, and were dropped — the curation-pipeline
+    observability table (where did my corpus go?).
+
+    One aggregation job computes every stage count as a conditional
+    sum over the cumulative AND of the predicates — the input is
+    scanned ONCE with map-side partial aggregation to a single
+    counters row (no per-stage jobs, no shuffle of data rows), then
+    that one row is inlined into (stage_idx, stage, n_in, n_out,
+    n_dropped). At 10^12 rows this is the same cost class as one
+    count(*)."""
+    aggs = [F.count(F.lit(1)).alias("_n0")]
+    acc = F.lit(True)
+    for i, (_, cond) in enumerate(stages):
+        acc = acc & cond
+        aggs.append(F.sum(acc.cast("long")).alias(f"_n{i + 1}"))
+    row = df.agg(*aggs)
+    structs = F.array(*[
+        F.struct(F.lit(i).cast("long").alias("stage_idx"),
+                 F.lit(name).alias("stage"),
+                 F.col(f"_n{i}").alias("n_in"),
+                 F.col(f"_n{i + 1}").alias("n_out"),
+                 (F.col(f"_n{i}") - F.col(f"_n{i + 1}"))
+                 .alias("n_dropped"))
+        for i, (name, _) in enumerate(stages)])
+    return row.select(F.inline(structs))

@@ -362,3 +362,22 @@ def test_nfc_normalize_composes_and_preserves(spark):
     assert out[3] == ("plain ascii", 11)
     assert out[4] == ("ﬁx", 2)         # ligature kept (not NFKC)
     assert out[5] == (None, None)
+
+
+def test_filter_funnel_single_pass_counts(spark):
+    """Funnel counts are cumulative-AND conditional sums from ONE
+    aggregation (no per-stage jobs): later stages only see earlier
+    survivors, and a NULL predicate counts as a drop (SQL three-valued
+    logic), never as a pass."""
+    from pyspark.sql import functions as F
+    from bank_statement_pdf_parser_spark.operators.textstats import (
+        filter_funnel)
+    rows = [(1, 10, "a"), (2, 300, "b"), (3, 500, None), (4, 700, "d")]
+    df = spark.createDataFrame(rows, "id long, n long, s string")
+    out = {r.stage: (r.n_in, r.n_out, r.n_dropped)
+           for r in filter_funnel(df, [
+               ("big", F.col("n") >= 300),
+               ("named", F.col("s").isNotNull()),
+               ("odd", F.col("id") % 2 == 0)]).collect()}
+    assert out == {"big": (4, 3, 1), "named": (3, 2, 1),
+                   "odd": (2, 2, 0)}
