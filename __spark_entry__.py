@@ -2351,6 +2351,53 @@ FROM e
 """
 
 
+def _q_x_jpeg_stats(spark, sf_dir):
+    """REAL baseline-JPEG decode inside Spark (round 6, closing the
+    last decodable codec gap): each doc_id becomes a standard-
+    conformant grayscale JPEG (Annex K huffman tables, byte stuffing,
+    all-ones quant) of 2x2 flat 8x8 blocks valued
+    (doc_id*29 + b*13) % 256. The engine runs the FULL entropy-decode
+    + dequant + IDCT path (operators/multimodal.decode_jpeg); flat
+    blocks make the decode integer-exact (IDCT of a DC-only block is
+    S00/8, a float64-exact power-of-two scale), so the SQL oracle
+    predicts the pixel sum as pure integer arithmetic."""
+    _prep(spark)
+    import numpy as np
+    import pandas as pd
+
+    from bank_statement_pdf_parser_spark.operators.multimodal import (
+        IMAGE_STATS_DDL, image_stats_kernel)
+
+    def build(batches):
+        from bank_statement_pdf_parser_spark.operators.multimodal import (
+            encode_jpeg_flat_blocks)
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            pays = [encode_jpeg_flat_blocks(np.array(
+                [(i * 29 + b * 13) % 256 for b in range(4)],
+                dtype=np.uint8).reshape(2, 2)) for i in ids]
+            if ids:
+                yield pd.DataFrame({"media_id": ids, "payload": pays})
+
+    media = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+             .select("doc_id")
+             .mapInPandas(build, "media_id long, payload binary"))
+    stats = media.mapInPandas(image_stats_kernel(thumb=2), IMAGE_STATS_DDL)
+    return stats.select(
+        "media_id", "height", "width",
+        F.round(F.get("mean_rgb", 0) * 256).cast("long").alias("sum_px"))
+
+
+_X_JPEG_STATS_SQL = """
+SELECT d.doc_id AS media_id, CAST(16 AS INTEGER) AS height,
+       CAST(16 AS INTEGER) AS width,
+       CAST(sum(64 * ((d.doc_id*29 + t.b*13) % 256)) AS BIGINT) AS sum_px
+FROM documents d CROSS JOIN range(0, 4) t(b)
+WHERE d.doc_id < 200
+GROUP BY d.doc_id
+"""
+
+
 def _q_x_filter_funnel(spark, sf_dir):
     """Single-pass curation funnel (textstats.filter_funnel): three
     chained quality gates (min length, non-alpha ratio as an integer
@@ -2606,6 +2653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.001 AND sf0.01).
     return {
         # --- round-6 additions (never driver-recorded) ---
+        "x_jpeg_stats": _q_x_jpeg_stats,
         "x_filter_funnel": _q_x_filter_funnel,
         "x_repeat_upsample": _q_x_repeat_upsample,
         "x_stream_window": _q_x_stream_window,
@@ -2711,6 +2759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "x_jpeg_stats": _X_JPEG_STATS_SQL,
         "x_filter_funnel": _X_FILTER_FUNNEL_SQL,
         "x_repeat_upsample": _X_REPEAT_UPSAMPLE_SQL,
         "x_stream_window": _X_STREAM_WINDOW_SQL,

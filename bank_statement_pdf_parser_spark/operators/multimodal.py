@@ -8,8 +8,10 @@ libraries — PPM (P6) and 24-bit BMP with pure numpy (`decode_ppm` /
 `decode_bmp24`), and critical-chunk PNG with stdlib zlib + numpy
 un-filtering (`decode_png`: 8-bit grey/RGB/palette/alpha, filters
 0-4, CRC-checked; round 6) — including thumbnailing via
-`resize_nearest`. Remaining compressed formats (JPEG) gate behind an
-import-try (`decode_image_real`) and raise NotImplementedError while
+`resize_nearest`. Baseline JPEG decodes natively too (`decode_jpeg`:
+huffman + dequant + IDCT, pure numpy). Remaining exotic formats
+(progressive JPEG, JPEG2000, ...) gate behind an import-try
+(`decode_image_real`) and raise NotImplementedError while
 PIL is absent in this sandbox. The deterministic `FakeMedia`
 container (16-byte packed header + payload) additionally exercises
 the audio/video plumbing end-to-end.
@@ -153,10 +155,11 @@ def sample_frames(every_k: int = 2):
 
 
 def decode_image_real(payload: bytes):
-    """Residual compressed-codec path (JPEG/...), gated: raises
-    NotImplementedError without PIL. PPM/BMP (pure numpy) and
-    critical-chunk PNG (stdlib zlib) decode for real without PIL —
-    see decode_image_array / decode_png."""
+    """Residual compressed-codec path (progressive JPEG, exotic
+    formats), gated: raises NotImplementedError without PIL. PPM/BMP
+    (pure numpy), critical-chunk PNG (stdlib zlib) and BASELINE JPEG
+    (decode_jpeg: huffman + IDCT, pure numpy) decode for real without
+    PIL — see decode_image_array."""
     try:
         from PIL import Image  # noqa: F401
     except ImportError as e:
@@ -419,14 +422,370 @@ def decode_png(payload: bytes) -> np.ndarray:
     return img
 
 
+# ---------------------------------------------------------------------------
+# baseline JPEG (ITU-T T.81), pure stdlib + numpy: marker walk, DQT/DHT
+# parse, huffman entropy decode with byte-unstuffing and RSTn handling,
+# dequantize in zigzag order, separable float64 IDCT, 4:2:0/4:2:2
+# chroma replication, JFIF YCbCr->RGB. Progressive (SOF2), arithmetic
+# and 12-bit modes raise ValueError (the stats kernels skip such rows);
+# the PIL gate above now covers only the exotic remainder. The fixture
+# encoder emits DC-ONLY blocks, for which the decode is integer-exact
+# (a flat block's IDCT is S00/8 with S00 a multiple of 8 — float64
+# error ~ulps around an integer, removed by the final round), so the
+# x_jpeg_stats oracle can predict channel sums in pure SQL while the
+# engine runs the full huffman+IDCT path.
+# ---------------------------------------------------------------------------
+
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64)
+
+# Annex K.3 typical luminance tables (public standard constants)
+_JPEG_DC_LUM_BITS = [0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_LUM_VALS = list(range(12))
+_JPEG_AC_LUM_BITS = [0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1,
+                     0x7D]
+_JPEG_AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+
+def _huff_table(bits, vals):
+    """(code_length, code) -> value map from the DHT BITS/HUFFVAL
+    lists (T.81 C.2 canonical code assignment)."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln]):
+            table[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+_JPEG_IDCT_A = None
+
+
+def _idct_basis() -> np.ndarray:
+    global _JPEG_IDCT_A
+    if _JPEG_IDCT_A is None:
+        u = np.arange(8).reshape(8, 1)
+        x = np.arange(8).reshape(1, 8)
+        a = np.cos((2 * x + 1) * u * np.pi / 16) / 2
+        a[0, :] *= 1 / np.sqrt(2)
+        _JPEG_IDCT_A = a
+    return _JPEG_IDCT_A
+
+
+class _JpegBits:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; RSTn markers are surfaced via `restart()`."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _byte(self) -> int:
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            nxt = self.buf[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+                return 0xFF
+            raise _JpegMarker(nxt)
+        self.pos += 1
+        return b
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self.acc = self._byte()
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self) -> None:
+        """Consume an expected RSTn marker and byte-align."""
+        self.n = 0
+        if (self.buf[self.pos] != 0xFF
+                or not 0xD0 <= self.buf[self.pos + 1] <= 0xD7):
+            raise ValueError("jpeg: missing restart marker")
+        self.pos += 2
+
+
+class _JpegMarker(Exception):
+    def __init__(self, code: int):
+        self.code = code
+
+
+def _huff_decode(r: _JpegBits, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | r.bit()
+        v = table.get((ln, code))
+        if v is not None:
+            return v
+    raise ValueError("jpeg: invalid huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG -> HxWxC uint8 (C=1 grey, C=3 RGB). Pure
+    stdlib+numpy; raises ValueError on non-baseline streams."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: bad SOI")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps = None
+    h_img = w_img = 0
+    restart_interval = 0
+    pos = 2
+    n = len(payload)
+    while pos < n:
+        if payload[pos] != 0xFF:
+            raise ValueError("jpeg: expected marker")
+        m = payload[pos + 1]
+        pos += 2
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            continue
+        if m == 0xD9:
+            raise ValueError("jpeg: EOI before SOS")
+        seg_len = int.from_bytes(payload[pos:pos + 2], "big")
+        body = payload[pos + 2:pos + seg_len]
+        if m == 0xDB:                                    # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                if pq != 0:
+                    raise ValueError("jpeg: 16-bit quant tables "
+                                     "unsupported")
+                qt[tq] = np.frombuffer(body[i + 1:i + 65],
+                                       dtype=np.uint8).astype(np.int64)
+                i += 65
+        elif m == 0xC4:                                  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = [0] + list(body[i + 1:i + 17])
+                cnt = sum(bits)
+                vals = list(body[i + 17:i + 17 + cnt])
+                huff[(tc, th)] = _huff_table(bits, vals)
+                i += 17 + cnt
+        elif m == 0xC0:                                  # SOF0 baseline
+            if body[0] != 8:
+                raise ValueError("jpeg: only 8-bit precision")
+            h_img = int.from_bytes(body[1:3], "big")
+            w_img = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                   0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: only baseline SOF0 supported")
+        elif m == 0xDD:                                  # DRI
+            restart_interval = int.from_bytes(body[0:2], "big")
+        elif m == 0xDA:                                  # SOS
+            if comps is None:
+                raise ValueError("jpeg: SOS before SOF0")
+            ns = body[0]
+            sel = {}
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c:3 + 2 * c]
+                sel[cs] = (tt >> 4, tt & 15)
+            return _jpeg_scan(payload, pos + seg_len, comps, sel, qt,
+                              huff, h_img, w_img, restart_interval)
+        pos += seg_len
+    raise ValueError("jpeg: no SOS marker")
+
+
+def _jpeg_scan(buf, pos, comps, sel, qt, huff, h_img, w_img,
+               restart_interval):
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w_img // (8 * hmax))
+    mcuy = -(-h_img // (8 * vmax))
+    a = _idct_basis()
+    planes = []
+    for c in comps:
+        planes.append(np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]),
+                               dtype=np.float64))
+    pred = [0] * len(comps)
+    r = _JpegBits(buf, pos)
+    zz = _JPEG_ZIGZAG
+    mcu_done = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_done == restart_interval:
+                r.restart()
+                pred = [0] * len(comps)
+                mcu_done = 0
+            for ci, c in enumerate(comps):
+                td, ta = sel[c["id"]]
+                dc_t, ac_t = huff[(0, td)], huff[(1, ta)]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros(64, dtype=np.int64)
+                        s = _huff_decode(r, dc_t)
+                        pred[ci] += _extend(r.bits(s), s)
+                        coef[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(r, ac_t)
+                            rr, s = rs >> 4, rs & 15
+                            if rs == 0x00:
+                                break
+                            if s == 0:
+                                if rr != 15:
+                                    raise ValueError("jpeg: bad AC run")
+                                k += 16
+                                continue
+                            k += rr
+                            if k > 63:
+                                raise ValueError("jpeg: AC overflow")
+                            coef[k] = _extend(r.bits(s), s)
+                            k += 1
+                        blk = np.zeros(64, dtype=np.float64)
+                        blk[zz] = coef * q
+                        blk = blk.reshape(8, 8)
+                        px = a.T @ blk @ a + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+            mcu_done += 1
+    out = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                      hmax // c["h"], axis=1)
+        out.append(p[:h_img, :w_img])
+    if len(out) == 1:
+        g = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+        return g[:, :, None]
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg_flat_blocks(blocks: np.ndarray) -> bytes:
+    """FIXTURE encoder: a grayscale baseline JPEG whose 8x8 blocks are
+    the flat values in `blocks` (BH x BW uint8). Quant table all-ones,
+    DC-only entropy stream (every block codes its DC diff + EOB) with
+    the Annex K typical tables — a REAL standard-conformant stream
+    (huffman, stuffing, IDCT all exercised) whose decode is
+    integer-exact, so SQL oracles can predict pixel sums."""
+    bh, bw = blocks.shape
+    h, w = bh * 8, bw * 8
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker])
+                   + (len(body) + 2).to_bytes(2, "big") + body)
+
+    seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([1, 0x01, 0x11, 0x00]))
+    seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_LUM_BITS[1:])
+        + bytes(_JPEG_DC_LUM_VALS))
+    seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_LUM_BITS[1:])
+        + bytes(_JPEG_AC_LUM_VALS))
+    seg(0xDA, bytes([1, 0x01, 0x00, 0, 63, 0]))
+
+    dc_codes = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(_JPEG_DC_LUM_BITS[ln]):
+            dc_codes[_JPEG_DC_LUM_VALS[k]] = (ln, code)
+            k += 1
+            code += 1
+        code <<= 1
+    ac_codes = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(_JPEG_AC_LUM_BITS[ln]):
+            ac_codes[_JPEG_AC_LUM_VALS[k]] = (ln, code)
+            k += 1
+            code += 1
+        code <<= 1
+
+    bitbuf = []
+
+    def put(ln: int, code: int) -> None:
+        for i in range(ln - 1, -1, -1):
+            bitbuf.append((code >> i) & 1)
+
+    pred = 0
+    for v in blocks.astype(np.int64).ravel():
+        dc = 8 * (int(v) - 128)
+        diff = dc - pred
+        pred = dc
+        s = diff.bit_length() if diff >= 0 else (-diff).bit_length()
+        put(*dc_codes[s])
+        if s:
+            put(s, diff if diff >= 0 else diff + (1 << s) - 1)
+        put(*ac_codes[0x00])                             # EOB
+    while len(bitbuf) % 8:
+        bitbuf.append(1)
+    for i in range(0, len(bitbuf), 8):
+        b = 0
+        for bit in bitbuf[i:i + 8]:
+            b = (b << 1) | bit
+        out.append(b)
+        if b == 0xFF:
+            out.append(0x00)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
 def decode_image_array(payload: bytes) -> np.ndarray:
-    """Any image payload -> HxWx3 uint8: pure-numpy for PPM/BMP, pure
-    stdlib-zlib+numpy for critical-chunk PNG, PIL-gated for the rest
-    (JPEG/...). PNG alpha is dropped and greyscale broadcast to RGB."""
+    """Any image payload -> HxWx3 uint8: pure-numpy for PPM/BMP and
+    baseline JPEG, pure stdlib-zlib+numpy for critical-chunk PNG,
+    PIL-gated for the rest (progressive JPEG/...). PNG alpha is
+    dropped; greyscale broadcast to RGB."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp24(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        img = decode_jpeg(payload)
+        if img.shape[2] == 1:
+            img = np.repeat(img, 3, axis=2)
+        return img
     if payload[:8] == _PNG_SIG:
         img = decode_png(payload)
         ch = img.shape[2]
