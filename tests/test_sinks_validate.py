@@ -36,7 +36,30 @@ def test_standardized_sinks(spark, transcripts_path, tmp_path):
     write_standardized(txns.drop("value_date"), c, "csv")
     assert spark.read.option("header", "true").csv(c).count() == txns.count()
 
-    # xlsx convenience: openpyxl absent in sandbox -> csv fallback
+    # literal .xlsx (stdlib OOXML writer — no openpyxl needed)
     out = write_excel_preview(txns, str(tmp_path / "tail.xlsx"), limit=50)
-    assert os.path.exists(out)
-    assert out.endswith(".csv") or out.endswith(".xlsx")
+    assert os.path.exists(out) and out.endswith(".xlsx")
+
+
+def test_xlsx_roundtrip_types_and_escaping(tmp_path):
+    """write_xlsx emits spec-conformant SpreadsheetML the companion
+    stdlib reader can replay: numbers native, strings inline (XML
+    escaping + preserved whitespace), bools, blanks for None/NaN."""
+    from bank_statement_pdf_parser_spark.sources.sink import (
+        read_xlsx_rows, write_xlsx)
+    import zipfile
+    p = str(tmp_path / "t.xlsx")
+    rows = [[1, "a<b&c>", 2.5, True, None],
+            [-7, "  spaced  ", float("nan"), False, "x"],
+            [1234567890123, "", 0.125, True, "tail"]]
+    write_xlsx(["n", "s", "f", "b", "opt"], rows, p)
+    back = read_xlsx_rows(p)
+    assert back[0] == ["n", "s", "f", "b", "opt"]
+    assert back[1] == [1, "a<b&c>", 2.5, True, None]
+    assert back[2] == [-7, "  spaced  ", None, False, "x"]
+    assert back[3] == [1234567890123, "", 0.125, True, "tail"]
+    # package structure: every required OOXML part present
+    names = set(zipfile.ZipFile(p).namelist())
+    assert {"[Content_Types].xml", "_rels/.rels", "xl/workbook.xml",
+            "xl/_rels/workbook.xml.rels",
+            "xl/worksheets/sheet1.xml"} <= names
