@@ -469,6 +469,14 @@ def knn_topk_batch(df: DataFrame, queries: DataFrame, k: int = 5,
                           dtype=np.float64)
         qnrm = np.sqrt((qmat * qmat).sum(axis=1))
         payload = (qids, qmat, qnrm)
+        # same closure-vs-broadcast rule as the IVF kernel: small probe
+        # sets ride the task closure (no broadcast blob to leak across
+        # a long-lived session); big ones go through one broadcast
+        if qmat.nbytes < (4 << 20):
+            local, bc = payload, None
+        else:
+            local, bc = None, df.sparkSession.sparkContext.broadcast(
+                payload)
         out_schema = StructType([StructField("q_id", LongType()),
                                  StructField(id_col, LongType()),
                                  StructField("cos", DoubleType())])
@@ -478,7 +486,7 @@ def knn_topk_batch(df: DataFrame, queries: DataFrame, k: int = 5,
         def kernel(batches):
             import numpy as np
             import pandas as pd
-            qi, qm, qn = payload
+            qi, qm, qn = local if bc is None else bc.value
             for pdf in batches:
                 if not len(pdf):
                     continue

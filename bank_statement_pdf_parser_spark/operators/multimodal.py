@@ -538,8 +538,14 @@ class _JpegBits:
         self.pos += 2
 
 
-class _JpegMarker(Exception):
+class _JpegMarker(ValueError):
+    """An unexpected marker inside entropy data. Subclasses ValueError
+    so a truncated/garbage stream surfaces as a normal decode error
+    the stats kernels skip, never an exotic exception that kills the
+    job."""
+
     def __init__(self, code: int):
+        super().__init__(f"jpeg: marker 0x{code:02x} inside entropy data")
         self.code = code
 
 
@@ -559,7 +565,16 @@ def _extend(v: int, s: int) -> int:
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JPEG -> HxWxC uint8 (C=1 grey, C=3 RGB). Pure
-    stdlib+numpy; raises ValueError on non-baseline streams."""
+    stdlib+numpy; raises ValueError on non-baseline OR malformed
+    streams (truncation -> IndexError is normalized to ValueError so
+    kernels can skip bad rows uniformly)."""
+    try:
+        return _decode_jpeg(payload)
+    except IndexError as e:
+        raise ValueError("jpeg: truncated stream") from e
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("jpeg: bad SOI")
     qt: dict[int, np.ndarray] = {}

@@ -525,3 +525,16 @@ def test_jpeg_rejects_progressive_and_bad_streams():
         mm.decode_jpeg(bytes(w.out))
     with pytest.raises(ValueError):
         mm.decode_jpeg(b"\xff\xd8\xff\xd9")
+
+
+def test_jpeg_every_truncation_is_a_clean_decode_error():
+    """Any prefix of a valid stream must raise ValueError (the error
+    class the stats kernels skip) — never IndexError or an internal
+    marker exception escaping into the job."""
+    buf = mm.encode_jpeg_flat_blocks(
+        np.array([[10, 250], [90, 130]], dtype=np.uint8))
+    for cut in range(2, len(buf)):
+        try:
+            mm.decode_jpeg(buf[:cut])
+        except ValueError:
+            pass
