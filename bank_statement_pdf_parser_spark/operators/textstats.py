@@ -207,7 +207,10 @@ def filter_funnel(df: DataFrame,
     acc = F.lit(True)
     for i, (_, cond) in enumerate(stages):
         acc = acc & cond
-        aggs.append(F.sum(acc.cast("long")).alias(f"_n{i + 1}"))
+        # coalesce: sum over an EMPTY frame is NULL — an empty corpus
+        # must report a 0/0/0 funnel, not NULLs
+        aggs.append(F.coalesce(F.sum(acc.cast("long")), F.lit(0))
+                    .alias(f"_n{i + 1}"))
     row = df.agg(*aggs)
     structs = F.array(*[
         F.struct(F.lit(i).cast("long").alias("stage_idx"),

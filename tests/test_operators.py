@@ -381,3 +381,7 @@ def test_filter_funnel_single_pass_counts(spark):
                ("odd", F.col("id") % 2 == 0)]).collect()}
     assert out == {"big": (4, 3, 1), "named": (3, 2, 1),
                    "odd": (2, 2, 0)}
+    # empty corpus: a 0/0/0 funnel, never NULLs
+    empty = filter_funnel(df.filter("id > 99"),
+                          [("big", F.col("n") >= 300)]).collect()
+    assert [(r.n_in, r.n_out, r.n_dropped) for r in empty] == [(0, 0, 0)]
