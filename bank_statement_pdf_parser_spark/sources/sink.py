@@ -15,6 +15,7 @@ from __future__ import annotations
 import datetime
 import decimal
 import numbers
+import re
 import zipfile
 from xml.sax.saxutils import escape
 
@@ -97,7 +98,26 @@ def _cell_xml(ref: str, v) -> str:
         v = v.isoformat(sep=" ") if isinstance(v, datetime.datetime) \
             else v.isoformat()
     return (f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
-            f"{escape(str(v))}</t></is></c>")
+            f"{escape(_xstring(str(v)))}</t></is></c>")
+
+
+_XESC = re.compile("_x[0-9A-Fa-f]{4}_")
+
+
+def _xstring(s: str) -> str:
+    """ECMA-376 ST_Xstring encoding: characters illegal in XML 1.0
+    (control chars, U+FFFE/F) AND carriage return (XML parsers
+    normalize a literal \r in text to \n) become _xHHHH_;
+    pre-existing literal _xHHHH_ runs are protected as
+    _x005F_xHHHH_. read_xlsx_rows reverses both."""
+    s = _XESC.sub(lambda m: "_x005F" + m.group(0), s)
+    return "".join(
+        c if (c in "\t\n" or 0x20 <= ord(c) not in (0xFFFE, 0xFFFF))
+        else f"_x{ord(c):04X}_" for c in s)
+
+
+def _xstring_decode(s: str) -> str:
+    return _XESC.sub(lambda m: chr(int(m.group(0)[2:6], 16)), s)
 
 
 def write_xlsx(header: list[str], rows, path: str) -> None:
@@ -146,7 +166,8 @@ def read_xlsx_rows(path: str) -> list[list]:
             t = c.attrib.get("t", "n")
             if t == "inlineStr":
                 tnode = c.find(f"{ns}is/{ns}t")
-                cells[ci] = "" if tnode is None else (tnode.text or "")
+                cells[ci] = "" if tnode is None else _xstring_decode(
+                    tnode.text or "")
             else:
                 vnode = c.find(f"{ns}v")
                 if vnode is None:

@@ -195,3 +195,63 @@ def test_winnow_spark_matches_python(spark, fixture_rows):
            for r in winnow_fingerprints(df).collect()}
     for i, t in texts:
         assert got[i] == _py_winnow(t), i
+
+
+# xlsx round-trip: arbitrary cell values survive the stdlib OOXML
+# writer/reader pair (S5 literal-sink property)
+_cells = st.one_of(
+    st.none(),
+    st.integers(min_value=-(10 ** 15), max_value=10 ** 15),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.booleans(),
+    st.text(max_size=40),
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.lists(_cells, min_size=3, max_size=3),
+                min_size=0, max_size=8))
+def test_xlsx_roundtrip_property(rows):
+    import tempfile
+
+    from bank_statement_pdf_parser_spark.sources.sink import (
+        read_xlsx_rows, write_xlsx)
+    with tempfile.NamedTemporaryFile(suffix=".xlsx") as f:
+        write_xlsx(["a", "b", "c"], rows, f.name)
+        back = read_xlsx_rows(f.name)
+    assert back[0] == ["a", "b", "c"]
+    assert len(back) == len(rows) + 1
+    for want, got in zip(rows, back[1:]):
+        for w, g in zip(want, got):
+            if w is None:
+                assert g is None
+            elif isinstance(w, bool):
+                assert g is w
+            elif isinstance(w, int):
+                assert g == w
+            elif isinstance(w, float):
+                # floats travel as repr -> float: exact
+                assert g == w
+            else:
+                assert g == w
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text("ab|x ", min_size=0, max_size=30), min_size=1,
+                max_size=6))
+def test_jpeg_flat_corpus_vs_blocks(texts):
+    """Any BHxBW uint8 block grid round-trips the DC-only JPEG
+    encoder/decoder exactly (hypothesis drives the grid from text
+    lengths so shapes and values vary)."""
+    import numpy as np
+
+    from bank_statement_pdf_parser_spark.operators import multimodal as mm
+    vals = [(len(t) * 37 + i * 11) % 256 for i, t in enumerate(texts)]
+    bw = max(1, min(4, len(vals)))
+    bh = (len(vals) + bw - 1) // bw
+    grid = np.zeros((bh, bw), dtype=np.uint8)
+    for i, v in enumerate(vals):
+        grid[i // bw, i % bw] = v
+    img = mm.decode_jpeg(mm.encode_jpeg_flat_blocks(grid))
+    want = np.repeat(np.repeat(grid, 8, 0), 8, 1)
+    assert (img[:, :, 0] == want).all()
