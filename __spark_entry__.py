@@ -2009,7 +2009,11 @@ def _q_x_stream_assemble(spark, sf_dir):
             F.pmod(F.col("doc_id") + F.col("ci"), F.lit(3)).alias("f")))
     import shutil
     tmp = tempfile.mkdtemp(prefix="x-stream-assemble-")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        # narrow state partitions: same per-partition state-store
+        # overhead economics as x_stream_window (throwaway checkpoint)
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
         for f in range(3):
             (chunks.filter(F.col("f") == f).drop("f").coalesce(1)
              .write.parquet(f"{tmp}/src/f{f}"))
@@ -2027,6 +2031,7 @@ def _q_x_stream_assemble(spark, sf_dir):
         # the memory sink holds the rows; the staging corpus +
         # checkpoint are never needed again — clean up even on failure
         # so repeated gate runs don't accumulate tempdirs (ADVICE r5)
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(tmp, ignore_errors=True)
     return (spark.sql("SELECT * FROM x_stream_assemble")
             .select(F.regexp_replace("conv_id", "^doc-", "")
@@ -2074,7 +2079,9 @@ def _q_x_stream_curate(spark, sf_dir):
             F.lit("2026-01-05 10:00:00").cast("timestamp").alias("ts"),
             F.pmod(F.col("doc_id") + F.col("ci"), F.lit(3)).alias("f")))
     tmp = tempfile.mkdtemp(prefix="x-stream-curate-")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
         for f in range(3):
             (chunks.filter(F.col("f") == f).drop("f").coalesce(1)
              .write.parquet(f"{tmp}/src/f{f}"))
@@ -2098,6 +2105,7 @@ def _q_x_stream_curate(spark, sf_dir):
     finally:
         # clean up even on failure so repeated gate runs don't
         # accumulate x-stream-curate-* tempdirs (ADVICE r5)
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(tmp, ignore_errors=True)
     return (spark.sql("SELECT * FROM x_stream_curate")
             .select(F.regexp_replace("conv_id", "^doc-", "")
