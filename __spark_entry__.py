@@ -2359,6 +2359,55 @@ FROM e
 """
 
 
+def _q_x_semdedup(spark, sf_dir):
+    """SEMANTIC dedup end-to-end over the embedding column: RHP-LSH
+    buckets -> capped candidate pairs -> exact-cosine verify (arrow
+    kernel) -> connected components -> keep min-id representative +
+    family size. Corpus = embeddings U a +100000 copy U a +200000 copy
+    of every 5th vector, so families have size 2 and 3 and components
+    must CHAIN (1e5<->2e5 may only connect through the original or
+    directly — either way min-label propagation folds them). Identical
+    vectors share every sign bit (recall 1.0 by construction) and the
+    base corpus's max distinct-pair cosine is 0.51, so the >=0.99
+    verify keeps exactly the identical-vector edges — the oracle is a
+    plain GROUP BY embedding. All 500 isolated vectors ride the
+    `nodes` frame (a dedup must keep singletons, not drop them)."""
+    _prep(spark)
+    from bank_statement_pdf_parser_spark.operators.ann import (
+        ann_candidate_pairs, rhp_buckets, verified_cosine_pairs)
+    from bank_statement_pdf_parser_spark.operators.components import (
+        connected_components)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = (emb
+              .unionByName(emb.select((F.col("vec_id") + 100000)
+                                      .alias("vec_id"), "embedding"))
+              .unionByName(emb.filter(F.col("vec_id") % 5 == 0)
+                           .select((F.col("vec_id") + 200000)
+                                   .alias("vec_id"), "embedding")))
+    sig = rhp_buckets(corpus, n_planes=14, n_tables=2)
+    cand = ann_candidate_pairs(sig)
+    pairs = (verified_cosine_pairs(corpus, cand, arrow=True)
+             .filter(F.round("cos", 6) >= 0.99))
+    labels = connected_components(
+        pairs, nodes=corpus.select(F.col("vec_id").alias("id")))
+    return (labels.groupBy("component")
+            .agg(F.min("id").alias("keep_id"),
+                 F.count("*").alias("family_n"))
+            .select("keep_id", "family_n"))
+
+
+_X_SEMDEDUP_SQL = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings
+  UNION ALL SELECT vec_id + 200000, embedding FROM embeddings
+  WHERE vec_id % 5 = 0)
+SELECT CAST(min(vec_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS family_n
+FROM corpus GROUP BY embedding::VARCHAR
+"""
+
+
 def _q_x_jpeg_stats(spark, sf_dir):
     """REAL baseline-JPEG decode inside Spark (round 6, closing the
     last decodable codec gap): each doc_id becomes a standard-
@@ -2669,6 +2718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.001 AND sf0.01).
     return {
         # --- round-6 additions (never driver-recorded) ---
+        "x_semdedup": _q_x_semdedup,
         "x_jpeg_stats": _q_x_jpeg_stats,
         "x_filter_funnel": _q_x_filter_funnel,
         "x_repeat_upsample": _q_x_repeat_upsample,
@@ -2775,6 +2825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "x_semdedup": _X_SEMDEDUP_SQL,
         "x_jpeg_stats": _X_JPEG_STATS_SQL,
         "x_filter_funnel": _X_FILTER_FUNNEL_SQL,
         "x_repeat_upsample": _X_REPEAT_UPSAMPLE_SQL,
