@@ -461,6 +461,11 @@ def knn_topk_batch(df: DataFrame, queries: DataFrame, k: int = 5,
     import numpy as np
 
     qrows = queries.select("q_id", "q_emb").collect()
+    if not qrows:
+        # empty probe set: an empty (q_id, id, cos_r, rnk) frame, not
+        # a kernel-side pd.concat([]) crash
+        return df.sparkSession.createDataFrame(
+            [], f"q_id bigint, {id_col} bigint, cos_r double, rnk bigint")
     if arrow:
         from pyspark.sql.types import (DoubleType, LongType, StructField,
                                        StructType)
