@@ -620,6 +620,11 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             h_img = int.from_bytes(body[1:3], "big")
             w_img = int.from_bytes(body[3:5], "big")
             nc = body[5]
+            if nc not in (1, 3):
+                # 4-component (CMYK/YCCK) streams would silently
+                # misdecode through the YCbCr branch — refuse instead
+                raise ValueError("jpeg: only 1- or 3-component "
+                                 "streams supported")
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]

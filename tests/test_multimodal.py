@@ -525,6 +525,13 @@ def test_jpeg_rejects_progressive_and_bad_streams():
         mm.decode_jpeg(bytes(w.out))
     with pytest.raises(ValueError):
         mm.decode_jpeg(b"\xff\xd8\xff\xd9")
+    # 4-component (CMYK) SOF0 must refuse, not misdecode via YCbCr
+    body = bytes([8, 0, 8, 0, 8, 4]
+                 + [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0])
+    cmyk = (b"\xff\xd8\xff\xc0" + (len(body) + 2).to_bytes(2, "big")
+            + body + b"\xff\xd9")
+    with pytest.raises(ValueError, match="component"):
+        mm.decode_jpeg(cmyk)
 
 
 def test_jpeg_every_truncation_is_a_clean_decode_error():
