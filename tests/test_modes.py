@@ -42,3 +42,26 @@ def test_relational_plan_is_udf_free(spark, transcripts_path):
     assert "ArrowEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_extraction_tolerates_extra_input_columns(spark, transcripts_path,
+                                                  tmp_path):
+    """Input-contract hardening: a transcripts table with ADDED
+    columns (upstream schema evolution) must extract identically —
+    the pipeline selects what it needs and never breaks on extras."""
+    from pyspark.sql import functions as F
+
+    from bank_statement_pdf_parser_spark.plans.extract import extract_all
+    base = spark.read.parquet(transcripts_path)
+    widened_path = str(tmp_path / "widened")
+    (base.withColumn("ingest_batch", F.lit("b-7"))
+     .withColumn("extra_meta", F.struct(F.lit(1).alias("v")))
+     .write.parquet(widened_path))
+    widened = spark.read.parquet(widened_path)
+    a = extract_all(base)
+    b = extract_all(widened)
+    sa = sorted(tuple(r) for r in a.spans.collect())
+    sb = sorted(tuple(r) for r in b.spans.collect())
+    assert sa == sb
+    assert (a.transactions.count() == b.transactions.count()
+            and a.transactions.count() > 0)
