@@ -2359,6 +2359,50 @@ FROM e
 """
 
 
+def _q_x_event_funnel(spark, sf_dir):
+    """Ordered event-SEQUENCE funnel (first-touch attribution):
+    signup -> click -> purchase per user, each later stage requiring
+    its first occurrence STRICTLY after the previous stage's first
+    occurrence. Unlike x_filter_funnel (per-row predicates), this is
+    cross-row per-user sequencing — one partial-aggregatable
+    groupBy(user) of conditional MINs plus a single global fold, the
+    same cost class as one count(distinct user) at any corpus size."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+
+    def first(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first("signup").alias("t_s"), first("click").alias("t_c"),
+        first("purchase").alias("t_p"))
+    s1 = F.col("t_s").isNotNull()
+    s2 = s1 & (F.col("t_c") > F.col("t_s"))
+    s3 = s2 & (F.col("t_p") > F.col("t_c"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(s1.cast("long")).alias("n_signup"),
+        F.sum(s2.cast("long")).alias("n_click_after"),
+        F.sum(s3.cast("long")).alias("n_purchase_after"))
+
+
+_X_EVENT_FUNNEL_SQL = """
+WITH f AS (SELECT user_id,
+       min(CASE WHEN event_type = 'signup' THEN ts END) AS t_s,
+       min(CASE WHEN event_type = 'click' THEN ts END) AS t_c,
+       min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_p
+  FROM events GROUP BY user_id)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+  CAST(sum(CASE WHEN t_s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_signup,
+  CAST(sum(CASE WHEN t_c > t_s THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_click_after,
+  CAST(sum(CASE WHEN t_c > t_s AND t_p > t_c THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_purchase_after
+FROM f
+"""
+
+
 def _q_x_semdedup(spark, sf_dir):
     """SEMANTIC dedup end-to-end over the embedding column: RHP-LSH
     buckets -> capped candidate pairs -> exact-cosine verify (arrow
@@ -2718,6 +2762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.001 AND sf0.01).
     return {
         # --- round-6 additions (never driver-recorded) ---
+        "x_event_funnel": _q_x_event_funnel,
         "x_semdedup": _q_x_semdedup,
         "x_jpeg_stats": _q_x_jpeg_stats,
         "x_filter_funnel": _q_x_filter_funnel,
@@ -2825,6 +2870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "x_event_funnel": _X_EVENT_FUNNEL_SQL,
         "x_semdedup": _X_SEMDEDUP_SQL,
         "x_jpeg_stats": _X_JPEG_STATS_SQL,
         "x_filter_funnel": _X_FILTER_FUNNEL_SQL,
