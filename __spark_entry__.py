@@ -2359,6 +2359,42 @@ FROM e
 """
 
 
+def _q_x_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: cohort = epoch-week of a
+    user's FIRST event, cell (cohort, offset) = distinct users from
+    that cohort active `offset` weeks later. Two partial-aggregatable
+    groupBys (per-user first-ts, then per-cell distinct count) — the
+    standard warehouse retention workload at the cost class of two
+    slim shuffles. Week arithmetic is integer epoch-day DIV 7 so both
+    engines bucket identically (no timezone/week-start dialects)."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    # single floor(micros / week_us): for positive epochs this equals
+    # the day-then-week nesting and is the form both engines compute
+    # identically (DuckDB's // on DOUBLE does not floor stepwise)
+    week = (F.unix_micros(F.col("ts"))
+            / F.lit(604800000000)).cast("long")
+    acts = ev.select("user_id", week.alias("week")).distinct()
+    cohort = acts.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    cells = (acts.join(cohort, "user_id")
+             .groupBy("cohort", (F.col("week") - F.col("cohort"))
+                      .alias("offset"))
+             .agg(F.countDistinct("user_id").alias("n_users")))
+    return cells.select("cohort", "offset", "n_users")
+
+
+_X_RETENTION_SQL = """
+WITH acts AS (SELECT DISTINCT user_id,
+        CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week FROM events),
+coh AS (SELECT user_id, min(week) AS cohort FROM acts GROUP BY user_id)
+SELECT c.cohort, a.week - c.cohort AS offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM acts a JOIN coh c ON a.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
 def _q_x_event_funnel(spark, sf_dir):
     """Ordered event-SEQUENCE funnel (first-touch attribution):
     signup -> click -> purchase per user, each later stage requiring
@@ -2762,6 +2798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.001 AND sf0.01).
     return {
         # --- round-6 additions (never driver-recorded) ---
+        "x_retention": _q_x_retention,
         "x_event_funnel": _q_x_event_funnel,
         "x_semdedup": _q_x_semdedup,
         "x_jpeg_stats": _q_x_jpeg_stats,
@@ -2870,6 +2907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "x_retention": _X_RETENTION_SQL,
         "x_event_funnel": _X_EVENT_FUNNEL_SQL,
         "x_semdedup": _X_SEMDEDUP_SQL,
         "x_jpeg_stats": _X_JPEG_STATS_SQL,

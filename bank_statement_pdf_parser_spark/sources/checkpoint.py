@@ -600,7 +600,13 @@ class CheckpointedExtract:
 
         Usage: df, cur = sink.read_incremental(spark, None) for the
         initial full read; persist `cur` (JSON-safe) and pass it back
-        to receive only re/newly-committed buckets."""
+        to receive only re/newly-committed buckets.
+
+        Delivery semantics: the cursor snapshot is taken BEFORE the
+        scan plans, so a bucket re-committed concurrently with the
+        read may appear in this batch AND again at the next poll —
+        at-least-once, never lost; consumers idempotent on (bucket,
+        manifest fingerprint) see each state exactly once."""
         new_cursor = self.store.snapshot_cursor()
         changed = sorted(self.store.changed_since(cursor))
         df = spark.read.parquet(os.path.join(self.output_dir, dataset))
