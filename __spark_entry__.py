@@ -2457,6 +2457,12 @@ def _q_x_semdedup(spark, sf_dir):
         ann_candidate_pairs, rhp_buckets, verified_cosine_pairs)
     from bank_statement_pdf_parser_spark.operators.components import (
         connected_components)
+    # fixture-scale partition sizing (1.2k vectors): the component
+    # iterations are tiny-frame joins where per-task overhead
+    # dominates at 16+ partitions (17s -> 8s measured); production
+    # sizes shuffle partitions to data volume as usual
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = (emb
               .unionByName(emb.select((F.col("vec_id") + 100000)
@@ -2468,12 +2474,18 @@ def _q_x_semdedup(spark, sf_dir):
     cand = ann_candidate_pairs(sig)
     pairs = (verified_cosine_pairs(corpus, cand, arrow=True)
              .filter(F.round("cos", 6) >= 0.99))
-    labels = connected_components(
-        pairs, nodes=corpus.select(F.col("vec_id").alias("id")))
-    return (labels.groupBy("component")
-            .agg(F.min("id").alias("keep_id"),
-                 F.count("*").alias("family_n"))
-            .select("keep_id", "family_n"))
+    try:
+        labels = connected_components(
+            pairs, nodes=corpus.select(F.col("vec_id").alias("id")))
+        out = (labels.groupBy("component")
+               .agg(F.min("id").alias("keep_id"),
+                    F.count("*").alias("family_n"))
+               .select("keep_id", "family_n"))
+        # the iterative localCheckpoints already materialized under
+        # the narrow setting; the final groupBy is records-sized
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
 _X_SEMDEDUP_SQL = """
