@@ -147,7 +147,12 @@ persist()ing the tokenizer (CLAUDE.md note). Parquet dictionary
 encoding on the durable writes was A/B'd (round 6, interleaved
 best-of-4 rewrites of both outputs): disabling it saves ~6% of the
 write wall (~1% of the sink) but grows the files 8-10% — rejected;
-the dictionary stays on.
+the dictionary stays on. Across probe-verified-calm windows the
+ratio itself spans ~1.43-1.62 while the ABSOLUTE overhead stays
+~1.1-1.3 s: the raw unit is pure CPU and speeds up more on a quiet
+host than the sink, whose residual includes durable-write/commit
+latency — compare overhead seconds across rounds, not ratios across
+epochs.
 
 The 4-group configuration re-scans the input once per group in this
 parquet sandbox (bucket is a computed column, not a storage
