@@ -385,3 +385,52 @@ def test_filter_funnel_single_pass_counts(spark):
     empty = filter_funnel(df.filter("id > 99"),
                           [("big", F.col("n") >= 300)]).collect()
     assert [(r.n_in, r.n_out, r.n_dropped) for r in empty] == [(0, 0, 0)]
+
+
+def test_event_funnel_and_retention_edges(spark):
+    """Ordering edges pinned by hand: a purchase BEFORE the first
+    click never reaches stage 3; same-timestamp stages fail the
+    STRICT ordering; retention cohorts count each user once per week
+    offset (duplicate events collapse)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    rows = [
+        # u1: clean s->c->p
+        (1, "2024-01-01 00:00:00", 1, "signup"),
+        (2, "2024-01-02 00:00:00", 1, "click"),
+        (3, "2024-01-03 00:00:00", 1, "purchase"),
+        # u2: purchase precedes click -> stops at stage 2
+        (4, "2024-01-01 00:00:00", 2, "signup"),
+        (5, "2024-01-05 00:00:00", 2, "click"),
+        (6, "2024-01-02 00:00:00", 2, "purchase"),
+        # u3: click ties signup timestamp -> strict ordering fails
+        (7, "2024-01-01 00:00:00", 3, "signup"),
+        (8, "2024-01-01 00:00:00", 3, "click"),
+        # u4: active weeks 0 and 2, duplicate events in week 0
+        (9, "2024-01-01 00:00:00", 4, "click"),
+        (10, "2024-01-01 01:00:00", 4, "click"),
+        (11, "2024-01-15 00:00:00", 4, "click"),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, t, 0.0, "{}") for i, ts, u, t in rows],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props")
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        # only the events table is read by these two queries
+        out = entry.queries()["x_event_funnel"](spark, d).collect()[0]
+        assert (out.n_users, out.n_signup, out.n_click_after,
+                out.n_purchase_after) == (4, 3, 2, 1)
+        ret = {(r.cohort, r.offset): r.n_users
+               for r in entry.queries()["x_retention"](spark, d).collect()}
+    # all users share the epoch-week containing 2024-01-01 (epoch
+    # weeks start 2023-12-28); u2's Jan-05 click is offset 1, u4's
+    # Jan-15 click offset 2
+    cohort = min(c for c, _ in ret)
+    assert ret[(cohort, 0)] == 4
+    assert ret[(cohort, 1)] == 1
+    assert ret[(cohort, 2)] == 1
