@@ -28,8 +28,13 @@ from pyspark.sql import functions as F
 from .. import spec
 from ..functions.normalize import normalize_records
 from ..operators.html import html_main_spans
-from ..operators.tokenize import RECORDS_DDL, tokenize_records
+from ..operators.tokenize import (RECORDS_DDL, RECORDS_SPAN_DDL,
+                                  RECORDS_TXN_DDL, tokenize_kernel,
+                                  tokenize_records)
 from ..sources.transcripts import with_resolved_payload
+
+_PROFILE_DDL = {"full": RECORDS_DDL, "transactions": RECORDS_TXN_DDL,
+                "spans": RECORDS_SPAN_DDL}
 
 
 @dataclass
@@ -42,7 +47,7 @@ class ExtractOutputs:
 
 def build_records(turns: DataFrame, mode: str = "fused",
                   salt_partitions: int | None = None,
-                  probe=None) -> DataFrame:
+                  probe=None, profile: str = "full") -> DataFrame:
     """Classified turns -> structural records.
 
     mode='fused': ONE mapInPandas pass over ALL turns (default; zero
@@ -56,6 +61,14 @@ def build_records(turns: DataFrame, mode: str = "fused",
     probe: optional Spark accumulator; when set, the fused kernel adds
     the number of input turn rows it sees (used by tests to prove the
     extraction DAG executes exactly once per sink job).
+
+    profile (fused only): output column subset the kernel materializes
+    ('full' | 'transactions' | 'spans' — operators/tokenize.py). The
+    parse is identical; mapInPandas output is opaque to Catalyst's
+    column pruning, so a consumer that never reads span_text/cells
+    (the transactions branch) or the field cells (the spans branch)
+    otherwise pays Python build + Arrow + JVM read for them anyway
+    (guide §4.1 applied to the output side; measured round 7).
     """
     if mode == "fused":
         src = turns
@@ -64,15 +77,15 @@ def build_records(turns: DataFrame, mode: str = "fused",
             # so we may repartition on the full turn key to spread
             # statement-heavy input splits across the cluster.
             src = src.repartition(salt_partitions, "conv_id", "turn_idx")
-        kernel = tokenize_records
+        kernel = tokenize_kernel(profile)
         if probe is not None:
-            def kernel(batches, _inner=tokenize_records, _probe=probe):
+            def kernel(batches, _inner=kernel, _probe=probe):
                 def counted(it):
                     for pdf in it:
                         _probe.add(len(pdf))
                         yield pdf
                 yield from _inner(counted(batches))
-        return src.mapInPandas(kernel, RECORDS_DDL)
+        return src.mapInPandas(kernel, _PROFILE_DDL[profile])
     if mode == "relational":
         stmt = turns.filter(F.col("kind") != "HTML")
         if salt_partitions:
@@ -179,10 +192,22 @@ def extract_all(transcripts: DataFrame, mode: str = "fused",
     turns = with_resolved_payload(transcripts)
     records = build_records(turns, mode=mode, salt_partitions=salt_partitions,
                             probe=probe)
+    if mode == "fused":
+        # Per-consumer column profiles (see build_records): each action
+        # pays exactly one tokenizer pass either way, but the spans and
+        # transactions branches now ship only the record columns they
+        # read across the Arrow boundary. `records` keeps the full
+        # staged-records contract.
+        rec_spans = build_records(turns, salt_partitions=salt_partitions,
+                                  probe=probe, profile="spans")
+        rec_txn = build_records(turns, salt_partitions=salt_partitions,
+                                probe=probe, profile="transactions")
+    else:
+        rec_spans = rec_txn = records
     return ExtractOutputs(
         turns=turns,
         records=records,
-        spans=build_spans(turns, records,
+        spans=build_spans(turns, rec_spans,
                           records_include_html=(mode == "fused")),
-        transactions=build_transactions(records),
+        transactions=build_transactions(rec_txn),
     )

@@ -94,7 +94,9 @@ def _lineitem_by_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def transcripts_from_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # Slim projection: the statement header only needs these three.
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select("o_orderkey", "o_custkey", "o_orderdate"))
     lineitem = _lineitem_by_order(spark, sf_dir)
 
     # (orderkey, linenumber, partkey, suppkey, quantity, shipdate) is unique,
@@ -108,7 +110,10 @@ def transcripts_from_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lit(" S"), F.col("l_suppkey").cast("string")),
         1, 38)
     amt = money_str(amount_cents())
-    bal = money_str(balance_cents())
+    # o_orderkey == l_orderkey on every joined row, and the join now
+    # happens after aggregation — derive the balance from the lineitem
+    # key (identical value).
+    bal = money_str(balance_cents("l_orderkey"))
     is_wdr = F.col("l_returnflag") == "R"
     blank16 = F.lit(" " * 16)
     line = F.concat(
@@ -117,14 +122,18 @@ def transcripts_from_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(is_wdr, blank16).otherwise(F.lpad(amt, 16, " ")),
         F.lpad(bal, 16, " "))
 
-    li = (lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
-                  "l_quantity", "o_custkey", "o_orderdate",
-                  line.alias("line"), F.col("l_shipdate")))
+    # Every rendered cell derives from lineitem columns alone, so the
+    # orders join belongs AFTER the per-order aggregation (round 7,
+    # guide §2.3/§3): joining first shuffled+sorted all N lineitem rows
+    # against orders inside a sort-merge join; joining the aggregated
+    # frame touches one row per order, and broadcasting the 3-column
+    # orders side removes the orders exchange and both SMJ sorts
+    # (o_orderkey is unique, so first(o_custkey) == the joined value).
+    li = lineitem.select("l_orderkey", "l_linenumber", "l_partkey",
+                         "l_suppkey", "l_quantity",
+                         line.alias("line"), F.col("l_shipdate"))
 
     per_order = li.groupBy("l_orderkey").agg(
-        F.first("o_custkey").alias("custkey"),
-        F.first("o_orderdate").alias("orderdate"),
         F.date_format(F.min("l_shipdate"), "dd MMM yyyy").alias("d0"),
         F.date_format(F.max("l_shipdate"), "dd MMM yyyy").alias("d1"),
         F.array_join(
@@ -135,6 +144,13 @@ def transcripts_from_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda x: x["line"]),
             "\n").alias("body"),
     )
+    # ~20 bytes/row projected: sf10 orders is ~300 MB built — far under
+    # the broadcast cap; at a scale where it no longer fits, drop the
+    # hint and the planner's SMJ costs one slim exchange.
+    per_order = (per_order.join(F.broadcast(orders),
+                                per_order.l_orderkey == orders.o_orderkey)
+                 .withColumnRenamed("o_custkey", "custkey")
+                 .withColumnRenamed("o_orderdate", "orderdate"))
     text = F.concat_ws(
         "\n",
         F.lit(HDR1),
@@ -165,18 +181,26 @@ DBS_HOTLINE = "Hotline 1800 111 1111"  # NOT in BOILER_RX: D4-only chrome
 def _ranked_lineitems(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     """First k lineitems (by the flagship's deterministic rank) of every
     order that has at least k lineitems."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select("o_orderkey", "o_custkey", "o_orderdate"))
     lineitem = _lineitem_by_order(spark, sf_dir)
     w = Window.partitionBy("l_orderkey").orderBy(
         "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
     wc = Window.partitionBy("l_orderkey")
-    return (lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-            .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
-                    "l_quantity", "l_returnflag", "l_linestatus",
-                    "l_shipdate", "o_custkey", "o_orderdate")
-            .withColumn("rn", F.row_number().over(w))
-            .withColumn("n_li", F.count("*").over(wc))
-            .filter((F.col("n_li") >= k) & (F.col("rn") <= k)))
+    # Rank/count windows read lineitem columns only, so the orders join
+    # moves BELOW the windows and AFTER the top-k filter (round 7): the
+    # windows reuse the scan repartition's clustering, and the broadcast
+    # join then touches k rows per order instead of all of them.
+    ranked = (lineitem
+              .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                      "l_quantity", "l_returnflag", "l_linestatus",
+                      "l_shipdate")
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("n_li", F.count("*").over(wc))
+              .filter((F.col("n_li") >= k) & (F.col("rn") <= k)))
+    return (ranked.join(F.broadcast(orders),
+                        ranked.l_orderkey == orders.o_orderkey)
+            .drop("o_orderkey"))
 
 
 def _base_desc() -> F.Column:
