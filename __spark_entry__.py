@@ -2801,72 +2801,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness records only the
     # first ~50 registry entries (CORRECTNESS_r03/r04 both stopped at
     # the same 50 keys while tools/check_contract.py passes the full
-    # registry), so the newest / least-recorded queries are listed
-    # FIRST. The trade: entries past position 50 (all green in
-    # CORRECTNESS_r01-r04 already) lose driver-side recording from
-    # round 5 on — their regression signal is tools/check_contract.py,
-    # whose full-registry log is committed each round at
-    # tools/CONTRACT_GATE_r{N}.log (r05: 67 queries, 0 failures at
-    # sf0.001 AND sf0.01).
+    # registry), so the keys with the OLDEST driver evidence lead.
+    # Round-7 rotation (VERDICT r6 task #1): the 47 keys whose only
+    # driver rows are r05 move to the front, so CORRECTNESS_r06 ∪ r07
+    # gives every one of the 97 registered keys a ≤2-round-old driver
+    # row. The 50 keys recorded in CORRECTNESS_r06 follow; their
+    # regression signal this round is the committed
+    # tools/CONTRACT_GATE_r07.log (full registry, both SFs).
     return {
-        # --- round-6 additions (never driver-recorded) ---
-        "x_retention": _q_x_retention,
-        "x_event_funnel": _q_x_event_funnel,
-        "x_semdedup": _q_x_semdedup,
-        "x_jpeg_stats": _q_x_jpeg_stats,
-        "x_filter_funnel": _q_x_filter_funnel,
-        "x_repeat_upsample": _q_x_repeat_upsample,
-        "x_stream_window": _q_x_stream_window,
-        "x_knn_batch": _q_x_knn_batch,
-        "x_minhash_est": _q_x_minhash_est,
-        "x_asof_nearest": _q_x_asof_nearest,
-        "x_curation_v2": _q_x_curation_v2,
-        "x_group_cap": _q_x_group_cap,
-        "x_tfidf_terms": _q_x_tfidf_terms,
-        "x_context_windows": _q_x_context_windows,
-        "x_centroid_gate": _q_x_centroid_gate,
-        "x_unicode_nfc": _q_x_unicode_nfc,
-        "x_line_dedup": _q_x_line_dedup,
-        "x_pack_shards": _q_x_pack_shards,
-        "x_quantile_gate": _q_x_quantile_gate,
-        "x_corpus_mix": _q_x_corpus_mix,
-        "x_simhash_neardup": _q_x_simhash_neardup,
-        "x_dedup_components": _q_x_dedup_components,
-        "x_dedup_keep_one": _q_x_dedup_keep_one,
-        "x_decontaminate": _q_x_decontaminate,
-        "x_repetition": _q_x_repetition,
-        "x_pii_redact": _q_x_pii_redact,
-        "x_png_stats": _q_x_png_stats,
-        "x_asof_within": _q_x_asof_within,
-        "x_asof_forward": _q_x_asof_forward,
-        "x_stratified_split": _q_x_stratified_split,
-        # --- the 17 keys past r05's recording window (driver-recorded
-        # r01-r04 or judge-gated only; leading here so the union of
-        # CORRECTNESS_r05+r06 covers every registered key with a
-        # driver-side row — VERDICT r5 task #3) ---
-        "s6_partition_metrics": _q_s6_partition_metrics,
-        "x_dedup_md5": _q_x_dedup_md5,
-        "x_token_stats": _q_x_token_stats,
-        "x_quality": _q_x_quality,
-        "x_langid": _q_x_langid,
-        "x_ann_cosine": _q_x_ann_cosine,
-        "f6_string_utils": _q_f6_string_utils,
-        "f7_math_dates": _q_f7_math_dates,
-        "w5_frame_agg": _q_w5_frame_agg,
-        "v1_balance_check": _q_v1_balance_check,
-        "x_neardup_pipeline": _q_x_neardup_pipeline,
-        "x_ann_lsh": _q_x_ann_lsh,
-        "x_ann_multiprobe": _q_x_ann_multiprobe,
-        "x_ann_ivf": _q_x_ann_ivf,
-        "x_simhash": _q_x_simhash,
-        "x_lattice_rails": _q_x_lattice_rails,
-        "x_exact_dedup_groups": _q_x_exact_dedup_groups,
-        # --- all green in CORRECTNESS_r05 (recording window backfill;
-        # regression signal past position ~50 is the committed
-        # tools/CONTRACT_GATE log) ---
-        "x_longdoc": _q_x_longdoc,
-        "x_stream_curate": _q_x_stream_curate,
-        "x_percentile": _q_x_percentile,
+        # --- 47 keys whose newest driver row is CORRECTNESS_r05 ---
         "x_token_bpe": _q_x_token_bpe,
         "x_quality_score": _q_x_quality_score,
         "x_fingerprint": _q_x_fingerprint,
@@ -2914,6 +2857,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o1_topk_orders": _q_o1_topk_orders,
         "o3_union": _q_o3_union,
         "o4_except": _q_o4_except,
+        # --- 50 keys recorded green in CORRECTNESS_r06 ---
+        "x_retention": _q_x_retention,
+        "x_event_funnel": _q_x_event_funnel,
+        "x_semdedup": _q_x_semdedup,
+        "x_jpeg_stats": _q_x_jpeg_stats,
+        "x_filter_funnel": _q_x_filter_funnel,
+        "x_repeat_upsample": _q_x_repeat_upsample,
+        "x_stream_window": _q_x_stream_window,
+        "x_knn_batch": _q_x_knn_batch,
+        "x_minhash_est": _q_x_minhash_est,
+        "x_asof_nearest": _q_x_asof_nearest,
+        "x_curation_v2": _q_x_curation_v2,
+        "x_group_cap": _q_x_group_cap,
+        "x_tfidf_terms": _q_x_tfidf_terms,
+        "x_context_windows": _q_x_context_windows,
+        "x_centroid_gate": _q_x_centroid_gate,
+        "x_unicode_nfc": _q_x_unicode_nfc,
+        "x_line_dedup": _q_x_line_dedup,
+        "x_pack_shards": _q_x_pack_shards,
+        "x_quantile_gate": _q_x_quantile_gate,
+        "x_corpus_mix": _q_x_corpus_mix,
+        "x_simhash_neardup": _q_x_simhash_neardup,
+        "x_dedup_components": _q_x_dedup_components,
+        "x_dedup_keep_one": _q_x_dedup_keep_one,
+        "x_decontaminate": _q_x_decontaminate,
+        "x_repetition": _q_x_repetition,
+        "x_pii_redact": _q_x_pii_redact,
+        "x_png_stats": _q_x_png_stats,
+        "x_asof_within": _q_x_asof_within,
+        "x_asof_forward": _q_x_asof_forward,
+        "x_stratified_split": _q_x_stratified_split,
+        "s6_partition_metrics": _q_s6_partition_metrics,
+        "x_dedup_md5": _q_x_dedup_md5,
+        "x_token_stats": _q_x_token_stats,
+        "x_quality": _q_x_quality,
+        "x_langid": _q_x_langid,
+        "x_ann_cosine": _q_x_ann_cosine,
+        "f6_string_utils": _q_f6_string_utils,
+        "f7_math_dates": _q_f7_math_dates,
+        "w5_frame_agg": _q_w5_frame_agg,
+        "v1_balance_check": _q_v1_balance_check,
+        "x_neardup_pipeline": _q_x_neardup_pipeline,
+        "x_ann_lsh": _q_x_ann_lsh,
+        "x_ann_multiprobe": _q_x_ann_multiprobe,
+        "x_ann_ivf": _q_x_ann_ivf,
+        "x_simhash": _q_x_simhash,
+        "x_lattice_rails": _q_x_lattice_rails,
+        "x_exact_dedup_groups": _q_x_exact_dedup_groups,
+        "x_longdoc": _q_x_longdoc,
+        "x_stream_curate": _q_x_stream_curate,
+        "x_percentile": _q_x_percentile,
     }
 
 

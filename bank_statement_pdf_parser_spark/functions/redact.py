@@ -43,10 +43,12 @@ def redact_pii(text: Column) -> Column:
 
 
 def pii_counts(text: Column) -> dict[str, Column]:
-    """Exact per-pattern match counts on the ORIGINAL text (audit
-    metric: how much was scrubbed). Counted pattern-by-pattern on the
+    """Exact per-pattern match counts, chain-order semantics (audit
+    metric: how much was scrubbed). Each pattern is counted on the
     progressively-redacted text exactly as the chain sees it, so
-    counts always sum to the number of placeholders inserted."""
+    counts always sum to the number of placeholders inserted (for
+    overlapping matches this differs from counting every pattern on
+    the original text — ADVICE r6)."""
     out: dict[str, Column] = {}
     cur = text
     for name, pat, rep in PII_PATTERNS:

@@ -166,9 +166,11 @@ def simhash_neardup_pairs(sig: DataFrame, max_hamming: int = 3,
     base, extra = divmod(64, n_bands)
     widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
     offs = [sum(widths[:i]) for i in range(n_bands)]
+    # width 64 (n_bands=1): (1<<64)-1 does not fit LongType — the
+    # all-bits mask in two's complement is -1 (ADVICE r6).
     chunks = [
         F.shiftright(F.col(hash_col), offs[i])
-        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+        .bitwiseAND(F.lit(-1 if widths[i] == 64 else (1 << widths[i]) - 1))
         for i in range(n_bands)
     ]
     bands = sig.select(F.col("doc_id"), F.col(hash_col),

@@ -279,6 +279,20 @@ class CheckpointedExtract:
 
         done = self.committed_buckets()
         todo = [b for b in range(self.n_buckets) if b not in done]
+        # On a RESUMED run, a crashed group may have left stale
+        # uncommitted bucket partitions in records_dir. Remove them
+        # BEFORE the pipelined loop starts: otherwise stage(g+1)'s
+        # dynamic-overwrite commit deletes them while derive(g)'s
+        # concurrent reads may be listing the same root, and a file
+        # vanishing mid-listing fails the run with
+        # FileNotFoundException (ADVICE r6 — loud but flaky). The
+        # same partitions would be overwritten anyway; this just moves
+        # the delete ahead of any concurrent reader.
+        import shutil
+        for b in todo:
+            stale = os.path.join(records_dir, f"{BUCKET}={b}")
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
         src = with_bucket(transcripts, self.n_buckets)
 
         # J3: restrict to the un-committed worklist via LEFT ANTI join

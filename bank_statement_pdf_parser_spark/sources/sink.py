@@ -17,6 +17,8 @@ import decimal
 import numbers
 import re
 import zipfile
+
+import numpy as _np
 from xml.sax.saxutils import escape
 
 from pyspark.sql import DataFrame
@@ -86,6 +88,13 @@ _XLSX_STATIC = {
 
 
 def _cell_xml(ref: str, v) -> str:
+    if isinstance(v, _np.generic):
+        # numpy scalars (np.bool_, np.int64, ...) from pandas
+        # itertuples are not instances of bool/numbers.Integral, so
+        # without this they would all fall through to the inline-string
+        # branch (ADVICE r6: bools were written as 'True'/'False'
+        # strings). .item() yields the native Python scalar.
+        v = v.item()
     if v is None:
         return ""
     if isinstance(v, float) and v != v:                 # NaN

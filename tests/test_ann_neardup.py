@@ -397,3 +397,18 @@ def test_minhash_estimator_bounds_and_portable_hash(spark):
     want = min(hashlib.md5(f"5:{s}".encode()).hexdigest() for s in sh)
     row = [r for r in sig.collect() if r.doc_id == 3 and r.seed == 5]
     assert row[0].mh == want
+
+
+def test_simhash_single_band_full_width(spark):
+    """n_bands=1 (max_hamming=0): one 64-bit chunk — the all-bits mask
+    must be the two's-complement -1, not (1<<64)-1 which overflows
+    LongType (ADVICE r6). Exact-equal signatures pair; hamming>=1
+    never survives the single-band equi-join."""
+    from bank_statement_pdf_parser_spark.operators.neardup import (
+        simhash_neardup_pairs)
+    base = -0x123456789ABCDEF1
+    rows = [(0, base), (1, base), (2, base ^ 1)]
+    sig = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {(r.a, r.b, r.hamming)
+           for r in simhash_neardup_pairs(sig, max_hamming=0).collect()}
+    assert got == {(0, 1, 0)}

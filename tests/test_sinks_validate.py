@@ -63,3 +63,19 @@ def test_xlsx_roundtrip_types_and_escaping(tmp_path):
     assert {"[Content_Types].xml", "_rels/.rels", "xl/workbook.xml",
             "xl/_rels/workbook.xml.rels",
             "xl/worksheets/sheet1.xml"} <= names
+
+
+def test_xlsx_numpy_scalars_native(tmp_path):
+    """numpy scalars (what pandas itertuples yields) must land as
+    native cell types, not inline strings: np.bool_ is not a bool
+    subclass, so without normalization bools serialized as the
+    strings 'True'/'False' (ADVICE r6)."""
+    import numpy as np
+    from bank_statement_pdf_parser_spark.sources.sink import (
+        read_xlsx_rows, write_xlsx)
+    p = str(tmp_path / "np.xlsx")
+    rows = [[np.bool_(True), np.int64(7), np.float64(2.5), np.bool_(False)]]
+    write_xlsx(["b1", "n", "f", "b2"], rows, p)
+    back = read_xlsx_rows(p)
+    assert back[1] == [True, 7, 2.5, False]
+    assert isinstance(back[1][0], bool) and isinstance(back[1][3], bool)
