@@ -77,7 +77,17 @@ def build_records(turns: DataFrame, mode: str = "fused",
             # so we may repartition on the full turn key to spread
             # statement-heavy input splits across the cluster.
             src = src.repartition(salt_partitions, "conv_id", "turn_idx")
-        kernel = tokenize_kernel(profile)
+        if profile in ("transactions", "spans"):
+            # Arrow-vectorized fast path + per-doc python fallback
+            # (operators/tokenize_arrow.py). The 'full' staged-records
+            # profile keeps the pandas kernel: sink staging and
+            # streaming plans are untouched.
+            from ..operators.tokenize_arrow import tokenize_arrow_kernel
+            kernel = tokenize_arrow_kernel(profile)
+            mapper, ddl = src.mapInArrow, _PROFILE_DDL[profile]
+        else:
+            kernel = tokenize_kernel(profile)
+            mapper, ddl = src.mapInPandas, _PROFILE_DDL[profile]
         if probe is not None:
             def kernel(batches, _inner=kernel, _probe=probe):
                 def counted(it):
@@ -85,7 +95,7 @@ def build_records(turns: DataFrame, mode: str = "fused",
                         _probe.add(len(pdf))
                         yield pdf
                 yield from _inner(counted(batches))
-        return src.mapInPandas(kernel, _PROFILE_DDL[profile])
+        return mapper(kernel, ddl)
     if mode == "relational":
         stmt = turns.filter(F.col("kind") != "HTML")
         if salt_partitions:

@@ -434,3 +434,139 @@ def test_event_funnel_and_retention_edges(spark):
     assert ret[(cohort, 0)] == 4
     assert ret[(cohort, 1)] == 1
     assert ret[(cohort, 2)] == 1
+
+
+def _edge_turns_frame():
+    """Turns covering every arrow-fast-path eligibility boundary:
+    eligible UOB/DBS/HDFC docs, duplicate anchors (D11), off-width
+    anchors (D7 inference), continuation lines (D9), multi-page (D4),
+    control chars / non-ASCII (python-re equivalence guards), content
+    before the first anchor, anchor-less and near-empty docs, OCBC
+    lattice and HTML (always python-path)."""
+    import pandas as pd
+
+    uob_hdr = ("UNITED OVERSEAS BANK LIMITED\nAccount: 0000000042\n"
+               "Statement Period: 01 Jan 2026 to 31 Dec 2026\n\n")
+    uob_foot = "\nPage 1 of 1\nUOB is regulated by MAS"
+
+    def uline(d, desc, wdr, dep, bal):
+        return (d.ljust(12) + desc.ljust(40) + wdr.rjust(16)
+                + dep.rjust(16) + bal.rjust(16))
+
+    a1 = uline("05 Jan 2026", "ALPHA", "1.00", "", "10.00")
+    a2 = uline("06 Jan 2026", "BETA", "", "2.00", "12.00")
+    a3 = uline("07 Jan 2026", "REF X9 GAMMA", "3.00", "", "9.00")
+    dbs_hdr = ("DBS BANK LTD\nAccount No: 000000042\n"
+               "Statement Date: 28/02/2026\n\n")
+    dline = ("05/01/2026 06/01/2026 " + "D1".ljust(40)
+             + "1.00 CR".rjust(16) + " " * 16 + "5.00".rjust(16))
+    h_hdr = ("HDFC BANK LTD\nA/c No: 00000000000042\n"
+             "Statement From 01/01/92 To 31/12/98\n\n")
+    hline = ("05/01/93".ljust(10) + "H1".ljust(40)
+             + "CHQ00000001".ljust(16) + "05/01/23".ljust(10)
+             + "1.00".rjust(16) + " " * 16 + "9.00".rjust(16))
+    docs = {
+        "u-basic": (uob_hdr + "\n".join([a1, a2, a3]) + uob_foot, "UOB"),
+        "u-dup": (uob_hdr + "\n".join([a1, a1, a2]) + uob_foot, "UOB"),
+        "u-jit": (uob_hdr + a1 + "  \n" + a2 + uob_foot, "UOB"),
+        "u-cont": (uob_hdr + a1 + "\n" + " " * 12
+                   + "CONT".ljust(88) + "\n" + a2 + uob_foot, "UOB"),
+        "u-mp": (uob_hdr + a1 + uob_foot + "\f"
+                 + uob_hdr + a2 + uob_foot, "UOB"),
+        "u-ctl": (uob_hdr + a1 + "\x0b\n" + a2 + uob_foot, "UOB"),
+        "u-uni": (uob_hdr + a1.replace("ALPHA", "ALPHÉ") + uob_foot,
+                  "UOB"),
+        "u-pre": ("stray\n" + a1 + "\n" + a2 + "\n"
+                  + "UNITED OVERSEAS BANK LIMITED", "UOB"),
+        "u-none": (uob_hdr + "nothing" + uob_foot, "UOB"),
+        "u-blank": (" \nUNITED OVERSEAS BANK LIMITED", "UOB"),
+        "d-basic": (dbs_hdr + dline
+                    + "\nPage 1/1\nDeposit Insurance Scheme applies",
+                    "DBS"),
+        "h-basic": (h_hdr + hline
+                    + "\nPage No .: 1\nHDFC BANK is registered with RBI",
+                    "HDFC"),
+        "o-basic": ("OCBC BANK\nAccount 000000000042\n"
+                    "Period 01 Nov 2025 - 28 Feb 2026\n\n"
+                    "|05 Dec|" + "LATTE".ljust(40) + "|"
+                    + "1.00".rjust(12) + "|" + " " * 12 + "|"
+                    + "9.00".rjust(12) + "|\n"
+                    "Page 1 of 1\nCo. Reg. No. 193200032W", "OCBC"),
+        "w-html": ('<html><body><nav>c</nav><div class="content">'
+                   'Hello &amp; bye<p> mid </p></div>'
+                   '<footer>f</footer></body></html>', "HTML"),
+    }
+    rows = [(cid, 0, doc, kind,
+             *( (11, 2025, 2026) if kind == "OCBC" else (None,) * 3))
+            for cid, (doc, kind) in docs.items()]
+    return pd.DataFrame(rows, columns=[
+        "conv_id", "turn_idx", "doc", "kind",
+        "p_start_mon", "p_start_year", "p_end_year"])
+
+
+def _canon_records(df, cols):
+    import numpy as np
+
+    def norm(x):
+        if isinstance(x, float) and x != x:
+            return None
+        if isinstance(x, np.integer) or (
+                isinstance(x, float) and x == int(x)):
+            return int(x)
+        if isinstance(x, (list, np.ndarray)):
+            return tuple(tuple(sorted(d.items())) if isinstance(d, dict)
+                         else d for d in x)
+        return x
+    return sorted(repr(tuple(norm(x) for x in t))
+                  for t in df[cols].itertuples(index=False))
+
+
+def test_kernel_profiles_project():
+    """Every reduced kernel profile equals the same projection of the
+    full kernel (HTML rows dropped for 'transactions')."""
+    import pandas as pd
+    from bank_statement_pdf_parser_spark.operators.tokenize import (
+        _SPAN_COLS, _TXN_COLS, tokenize_kernel)
+    pdf = _edge_turns_frame()
+    full = pd.concat(list(tokenize_kernel("full")(iter([pdf]))),
+                     ignore_index=True)
+    txn = pd.concat(list(tokenize_kernel("transactions")(iter([pdf]))),
+                    ignore_index=True)
+    spn = pd.concat(list(tokenize_kernel("spans")(iter([pdf]))),
+                    ignore_index=True)
+    assert _canon_records(full[full["bank"] != "HTML"], _TXN_COLS) \
+        == _canon_records(txn, _TXN_COLS)
+    assert _canon_records(full, _SPAN_COLS) \
+        == _canon_records(spn, _SPAN_COLS)
+
+
+def test_arrow_kernel_matches_pandas():
+    """The vectorized mapInArrow fast path must be record-identical to
+    the pandas kernel on a corpus that straddles every eligibility
+    boundary (fast-path docs, every fallback reason, python-only
+    banks)."""
+    import pandas as pd
+    import pyarrow as pa
+    from bank_statement_pdf_parser_spark.operators.tokenize import (
+        _SPAN_COLS, _TXN_COLS, tokenize_kernel)
+    from bank_statement_pdf_parser_spark.operators.tokenize_arrow import (
+        tokenize_arrow_kernel)
+    pdf = _edge_turns_frame()
+    schema = pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+        ("doc", pa.string()), ("kind", pa.string()),
+        ("p_start_mon", pa.int32()), ("p_start_year", pa.int32()),
+        ("p_end_year", pa.int32())])
+    batch = pa.RecordBatch.from_pandas(pdf, schema=schema,
+                                       preserve_index=False)
+    for profile, cols in (("transactions", _TXN_COLS),
+                          ("spans", _SPAN_COLS)):
+        want = pd.concat(
+            list(tokenize_kernel(profile)(iter([pdf]))),
+            ignore_index=True)
+        got_b = list(tokenize_arrow_kernel(profile)(iter([batch])))
+        got = pa.Table.from_batches(
+            got_b, schema=got_b[0].schema).to_pandas()
+        assert list(got.columns) == cols
+        assert _canon_records(want, cols) == _canon_records(got, cols), \
+            profile
