@@ -483,6 +483,29 @@ def _edge_turns_frame():
         "d-basic": (dbs_hdr + dline
                     + "\nPage 1/1\nDeposit Insurance Scheme applies",
                     "DBS"),
+        # multi-page with non-regex chrome on EVERY page (D4 frequency
+        # rule), a BALANCE B/F + page-carried duplicate anchor with its
+        # own continuation (D11 drops the whole duplicate group), and a
+        # continuation split across the page boundary (D9)
+        "u-carry": (uob_hdr + a1 + "\n" + " " * 12 + "CO1".ljust(88)
+                    + "\nHot Chrome Line" + uob_foot
+                    + "\f" + uob_hdr + "BALANCE B/F\n" + a1 + "\n"
+                    + " " * 12 + "CO1DUP".ljust(88) + "\n"
+                    + " " * 12 + "CO2SPLIT".ljust(88) + "\n" + a2
+                    + "\nHot Chrome Line" + uob_foot
+                    + "\f" + uob_hdr + " " * 12 + "CO3".ljust(88)
+                    + "\n" + a3 + "\nHot Chrome Line" + uob_foot, "UOB"),
+        # an anchor-shaped line repeated on every page: the frequency
+        # rule kills it BEFORE anchor classification
+        "u-freqa": (uob_hdr + a1 + "\n" + a2 + uob_foot
+                    + "\f" + uob_hdr + a2 + "\n" + a3 + uob_foot, "UOB"),
+        # boilerplate interleaved INSIDE a group: the span slice covers
+        # the footer text between anchor and continuation
+        "u-mid": (uob_hdr + a1 + "\nPage 1 of 1\n" + " " * 12
+                  + "TAIL".ljust(88) + uob_foot, "UOB"),
+        # triple duplicate anchor on one page
+        "u-3dup": (uob_hdr + "\n".join([a1, a1, a1, a2]) + uob_foot,
+                   "UOB"),
         "h-basic": (h_hdr + hline
                     + "\nPage No .: 1\nHDFC BANK is registered with RBI",
                     "HDFC"),
@@ -570,3 +593,14 @@ def test_arrow_kernel_matches_pandas():
         assert list(got.columns) == cols
         assert _canon_records(want, cols) == _canon_records(got, cols), \
             profile
+
+    # the vectorized path must actually COVER the docs designed for it
+    # (a silent fallback would make the comparison above vacuous):
+    # only the off-width doc may fall back inside _fast_bank_records
+    from bank_statement_pdf_parser_spark.operators.tokenize_arrow import (
+        _fast_bank_records)
+    uob = pdf[(pdf["kind"] == "UOB")
+              & ~pdf["conv_id"].isin(["u-ctl", "u-uni"])]
+    docs_arr = pa.array(uob["doc"].tolist())
+    _, _, fb = _fast_bank_records("UOB", docs_arr, "transactions")
+    assert list(uob["conv_id"].iloc[fb]) == ["u-jit"]
