@@ -21,12 +21,24 @@ def amount_struct(cell: Column) -> Column:
 
     Parens negate; thousands commas stripped; trailing CR/DR captured
     (empty string when absent). NULL/blank cell -> NULL struct.
+
+    Round 7: the three regex ops of the original formulation replaced
+    by exact non-regex equivalents (this runs per cell on every
+    record of the durable transactions write):
+    - marker  = regexp_extract(s, ' (CR|DR)$', 1)  ==  CASE on
+      endswith(' CR')/' DR' (the regex group is the last two chars);
+    - core    = regexp_replace(s, ' (CR|DR)$', '') ==  drop the last
+      3 chars in exactly those cases;
+    - digits  = regexp_replace(core, '[(),]', '')  ==
+      translate(core, '(),', '') (same char set, all occurrences).
     """
     s = F.trim(cell)
-    marker = F.regexp_extract(s, spec.AMOUNT_MARKER_RX, 1)
-    core = F.regexp_replace(s, spec.AMOUNT_MARKER_RX, "")
+    has_marker = s.endswith(" CR") | s.endswith(" DR")
+    marker = F.when(has_marker, F.substring(s, -2, 2)).otherwise(F.lit(""))
+    core = F.when(has_marker,
+                  F.substring(s, 1, F.length(s) - 3)).otherwise(s)
     neg = core.startswith("(") & core.endswith(")")
-    digits = F.regexp_replace(core, spec.AMOUNT_STRIP_RX, "")
+    digits = F.translate(core, "(),", "")
     val = digits.cast(DEC)
     val = F.when(neg, -val).otherwise(val)
     return F.when(s.isNotNull() & (F.length(s) > 0),

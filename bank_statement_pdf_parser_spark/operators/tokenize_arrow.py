@@ -51,7 +51,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .. import spec
-from .tokenize import _SPAN_COLS, _TXN_COLS, tokenize_kernel
+from .tokenize import (_RECORD_COLS, _SPAN_COLS, _TXN_COLS,
+                       tokenize_kernel)
 
 _FAST_BANKS = ("UOB", "DBS", "HDFC", "OCBC")
 # chars that break python<->RE2 whitespace equivalence when inside a
@@ -74,7 +75,8 @@ _TYPES = {
     "p_end_year": pa.int32(),
 }
 
-_PROFILE_COLS = {"transactions": _TXN_COLS, "spans": _SPAN_COLS}
+_PROFILE_COLS = {"transactions": _TXN_COLS, "spans": _SPAN_COLS,
+                 "full": _RECORD_COLS}
 
 
 def _schema_for(profile: str) -> pa.Schema:
@@ -226,7 +228,7 @@ def _fast_bank_records(bank: str, docs: pa.Array, profile: str):
         "span_start": _i32(span_start),
     }
 
-    if profile == "spans":
+    if profile != "transactions":        # spans / full
         single = n_members == 1
         txt = pc.utf8_rtrim(a_lines, _TRIM_SET)
         if single.all():
@@ -258,7 +260,7 @@ def _fast_bank_records(bank: str, docs: pa.Array, profile: str):
             s, e = sl[name]
             return pc.utf8_slice_codeunits(arr, s, e)
 
-        if profile == "transactions":
+        if profile != "spans":           # transactions / full
             field_of = {"date_cell": "date",
                         "vdate_cell": "value_date",
                         "wdr_cell": ("debit" if bank == "DBS"
@@ -273,7 +275,7 @@ def _fast_bank_records(bank: str, docs: pa.Array, profile: str):
             cols["desc_parts"] = pa.ListArray.from_arrays(
                 mem_offsets.astype(np.int32),
                 cut(mem_lines, "description"))
-        else:
+        if profile != "transactions":    # spans / full
             cols["cells"] = pa.ListArray.from_arrays(
                 np.zeros(n + 1, dtype=np.int32),
                 pa.array([], _CELL_STRUCT))
@@ -307,7 +309,7 @@ def _fast_bank_records(bank: str, docs: pa.Array, profile: str):
     cstart = (line_off[mem_flat][row_of_part] + pos_in_line + lead)
     cend = cstart + slen
 
-    if profile == "spans":
+    if profile != "transactions":        # spans / full
         sel = np.flatnonzero(cellm)
         cell_rec = rec_of_row[row_of_part[sel]]
         struct = pa.StructArray.from_arrays(
@@ -318,9 +320,10 @@ def _fast_bank_records(bank: str, docs: pa.Array, profile: str):
         cols["cells"] = pa.ListArray.from_arrays(
             np.concatenate(([0], np.cumsum(cells_per_rec)))
             .astype(np.int32), struct)
+    if profile == "spans":
         return a_doc, cols, fallback_docs
 
-    # transactions profile: anchor-row cells by name + desc_parts
+    # transactions / full: anchor-row cells by name + desc_parts
     svals = stripped.to_numpy(zero_copy_only=False)
     a_cell = cellm & first_row[row_of_part]
     a_cell_rec = rec_of_row[row_of_part]
@@ -367,11 +370,10 @@ def _ranges(counts: np.ndarray) -> np.ndarray:
 
 
 def tokenize_arrow_kernel(profile: str):
-    """mapInArrow kernel for the given output profile ('transactions'
-    or 'spans'): vectorized fast path + per-doc python fallback. The
-    'full' staged-records profile keeps the pandas kernel
-    (tokenize.tokenize_records) — sink staging and streaming are
-    unchanged."""
+    """mapInArrow kernel for the given output profile ('transactions',
+    'spans' or 'full'): vectorized fast path + per-doc python
+    fallback. 'full' emits the complete RECORDS_DDL (union of both
+    emissions) and backs the sink's staged-records pass."""
     cols_out = _PROFILE_COLS[profile]
     schema = _schema_for(profile)
     py_kernel = tokenize_kernel(profile)

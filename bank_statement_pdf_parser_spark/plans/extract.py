@@ -29,8 +29,7 @@ from .. import spec
 from ..functions.normalize import normalize_records
 from ..operators.html import html_main_spans
 from ..operators.tokenize import (RECORDS_DDL, RECORDS_SPAN_DDL,
-                                  RECORDS_TXN_DDL, tokenize_kernel,
-                                  tokenize_records)
+                                  RECORDS_TXN_DDL)
 from ..sources.transcripts import with_resolved_payload
 
 _PROFILE_DDL = {"full": RECORDS_DDL, "transactions": RECORDS_TXN_DDL,
@@ -77,17 +76,13 @@ def build_records(turns: DataFrame, mode: str = "fused",
             # so we may repartition on the full turn key to spread
             # statement-heavy input splits across the cluster.
             src = src.repartition(salt_partitions, "conv_id", "turn_idx")
-        if profile in ("transactions", "spans"):
-            # Arrow-vectorized fast path + per-doc python fallback
-            # (operators/tokenize_arrow.py). The 'full' staged-records
-            # profile keeps the pandas kernel: sink staging and
-            # streaming plans are untouched.
-            from ..operators.tokenize_arrow import tokenize_arrow_kernel
-            kernel = tokenize_arrow_kernel(profile)
-            mapper, ddl = src.mapInArrow, _PROFILE_DDL[profile]
-        else:
-            kernel = tokenize_kernel(profile)
-            mapper, ddl = src.mapInPandas, _PROFILE_DDL[profile]
+        # Arrow-vectorized fast path + per-doc python fallback
+        # (operators/tokenize_arrow.py) for every profile; the pandas
+        # kernel (tokenize.tokenize_kernel) remains the normative
+        # implementation and the fallback engine.
+        from ..operators.tokenize_arrow import tokenize_arrow_kernel
+        kernel = tokenize_arrow_kernel(profile)
+        mapper, ddl = src.mapInArrow, _PROFILE_DDL[profile]
         if probe is not None:
             def kernel(batches, _inner=kernel, _probe=probe):
                 def counted(it):

@@ -472,14 +472,20 @@ class CheckpointedExtract:
                 counts[str(b)] = n
             return counts
 
-        # conv-id range per bucket: a pruned-column aggregation
-        # over the staged records (reads only bucket + conv_id —
-        # a few KB of parquet), riding the same thread pool as the
-        # derived writes. Lineage semantics: the range of the
-        # bucket's EXTRACTED records (post-resolution), NULL when
-        # a bucket produced none — the range that actually
-        # describes the output partition's content.
-        def conv_range():
+        # conv-id range per bucket, from the parquet FOOTERS of the
+        # staged records this group just committed (round 7, VERDICT
+        # r6 task #4): row-group column statistics carry exact string
+        # min/max on this writer (verified untruncated at >100 chars),
+        # so the range costs zero Spark jobs — the same metadata-only
+        # class as the output row counts, and the Iceberg mapping
+        # (manifest files carry per-column lower/upper bounds).
+        # Guard: parquet writers MAY truncate long binary stats; if a
+        # bound reaches the conservative length cap, or any footer
+        # lacks conv_id stats on a file with rows, fall back to the
+        # former pruned-column aggregation job. Lineage semantics
+        # unchanged: the range of the bucket's EXTRACTED records,
+        # NULL when a bucket produced none.
+        def conv_range_spark():
             rows = (spark.read
                     .schema(f"{RECORDS_DDL}, {BUCKET} int")
                     .parquet(records_dir)
@@ -489,6 +495,38 @@ class CheckpointedExtract:
                          F.max("conv_id").alias("cmax"))
                     .collect())
             return {r[BUCKET]: (r["cmin"], r["cmax"]) for r in rows}
+
+        def conv_range():
+            import pyarrow.parquet as pq
+            out: dict[int, tuple] = {}
+            for b in group:
+                bdir = os.path.join(records_dir, f"{BUCKET}={b}")
+                cmin = cmax = None
+                if os.path.isdir(bdir):
+                    for f in os.listdir(bdir):
+                        if not f.endswith(".parquet"):
+                            continue
+                        md = pq.ParquetFile(
+                            os.path.join(bdir, f)).metadata
+                        ci = {md.schema.column(i).name: i
+                              for i in range(md.num_columns)}
+                        for rg in range(md.num_row_groups):
+                            col = md.row_group(rg).column(
+                                ci["conv_id"])
+                            if col.num_values == 0:
+                                continue
+                            st = col.statistics
+                            if (st is None or not st.has_min_max
+                                    or len(st.min) >= 64
+                                    or len(st.max) >= 64):
+                                return conv_range_spark()
+                            cmin = (st.min if cmin is None
+                                    else min(cmin, st.min))
+                            cmax = (st.max if cmax is None
+                                    else max(cmax, st.max))
+                if cmin is not None:
+                    out[b] = (cmin, cmax)
+            return out
 
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=3) as pool:

@@ -582,8 +582,11 @@ def test_arrow_kernel_matches_pandas():
         ("p_end_year", pa.int32())])
     batch = pa.RecordBatch.from_pandas(pdf, schema=schema,
                                        preserve_index=False)
+    from bank_statement_pdf_parser_spark.operators.tokenize import (
+        _RECORD_COLS)
     for profile, cols in (("transactions", _TXN_COLS),
-                          ("spans", _SPAN_COLS)):
+                          ("spans", _SPAN_COLS),
+                          ("full", _RECORD_COLS)):
         want = pd.concat(
             list(tokenize_kernel(profile)(iter([pdf]))),
             ignore_index=True)

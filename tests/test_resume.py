@@ -210,3 +210,24 @@ def test_incremental_read_tracks_recommits(spark, transcripts_path,
     # and the new cursor is quiescent again
     again, _ = ck.read_incremental(spark, cur3)
     assert again.count() == 0
+
+
+def test_lineage_conv_range_matches_exact(spark, transcripts_path,
+                                          tmp_path):
+    """conv_id_min/max in the manifests (round 7: derived from the
+    staged-records parquet FOOTER statistics, zero Spark jobs) must
+    equal an exact per-bucket aggregation over the staged records."""
+    from pyspark.sql import functions as F
+    df = spark.read.parquet(transcripts_path)
+    ck = CheckpointedExtract(str(tmp_path / "rng"), "r1", n_buckets=8,
+                             buckets_per_job=4)
+    ck.run(df)
+    staged = spark.read.parquet(str(tmp_path / "rng" / "records"))
+    want = {r["bucket"]: (r["cmin"], r["cmax"])
+            for r in staged.groupBy("bucket")
+            .agg(F.min("conv_id").alias("cmin"),
+                 F.max("conv_id").alias("cmax")).collect()}
+    got = {m["partition_id"]: (m["conv_id_min"], m["conv_id_max"])
+           for m in ck.lineage(spark).collect()
+           if m["conv_id_min"] is not None}
+    assert got == want
