@@ -100,9 +100,10 @@ CheckpointedExtract end to end: bucket shard (n_buckets=32), ONE
 tokenizer pass staging records to parquet, spans + transactions
 derived from the staged records in two CONCURRENT jobs and written
 with dynamic partition overwrite, per-bucket input metrics observed
-on the extraction job and output counts taken from the parquet
-FOOTERS of the committed files (metadata-only — no read-back job,
-the Iceberg snapshot-manifest mapping), 32 atomic manifest commits.
+on the extraction job and output counts AND conv-id ranges taken from
+the parquet FOOTERS of the committed files (metadata-only — no
+read-back job, no conv-range job since round 7; the Iceberg
+snapshot-manifest mapping), 32 atomic manifest commits.
 
 | measurement | wall s |
 |---|---|
@@ -152,7 +153,15 @@ ratio itself spans ~1.43-1.62 while the ABSOLUTE overhead stays
 ~1.1-1.3 s: the raw unit is pure CPU and speeds up more on a quiet
 host than the sink, whose residual includes durable-write/commit
 latency — compare overhead seconds across rounds, not ratios across
-epochs.
+epochs. Round 7 moved the raw unit again (the Arrow-vectorized
+tokenizer roughly halved a tokenizer pass), which mechanically WIDENS
+sink-minus-raw: the sink saves one pass versus the raw unit, and that
+saved pass is now worth less. The stable cross-round quantity is the
+write machinery W = sink_wall - raw_wall/2 (staging encode+exchange +
+derived writes + commits): round 6 W ~= 3.48 - 2.15/2 = 2.40 s;
+this run W ~= {sink:.2f} - {raw:.2f}/2 = {sink - raw/2:.2f} s
+(staging now also vectorized; the conv-range job is gone; the F2
+amount grammar in the transactions write runs regex-free).
 
 The 4-group configuration re-scans the input once per group in this
 parquet sandbox (bucket is a computed column, not a storage
