@@ -75,7 +75,14 @@ def get_spark(app: str = "bank-statement-extract", master: str | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Long documents: bound Arrow batch row-count so a batch of
         # multi-page statements stays well inside executor memory.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # Round-7 A/B at sf1.0 (bench_extra, interleaved): 4096 is
+        # ~5-8% less busy-CPU for the VECTORIZED tokenizer, 16384
+        # worse; but the conf is session-wide and shared with
+        # payload-heavy Arrow paths (multimodal blobs, long docs), so
+        # the memory-safe default stays and the lever is an env knob
+        # for deployments that know their row widths.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "1024"))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE: runtime coalescing + skew-join splitting for the record-level
         # shuffles that remain after the zero-shuffle extraction stage.
